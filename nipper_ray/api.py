@@ -88,6 +88,11 @@ class Document:
         return Selection(self.tree,
                          _matches_dfs(self.tree, [0], matcher._c, True))
 
+    def select_compiled(self, compiled: CompiledSelector) -> "Selection":
+        """Hot-path variant taking a pre-compiled selector directly."""
+        return Selection(self.tree,
+                         _matches_dfs(self.tree, [0], compiled, True))
+
     # -- properties (property.rs:5-15) ---------------------------------
     def html(self) -> str:
         return self.tree.serialize(0, include_node=True)

@@ -1,0 +1,137 @@
+"""Extraction stage: nipper-semantics parse + select as a Ray Data stage.
+
+The whole reference pipeline (parse -> select -> text()/attr())
+(/root/reference/examples/hacker_news.rs:1-14) runs *inside* one
+``map_batches`` call: the DOM is a transient Python object that never
+crosses a process boundary; blocks are zero-copy Arrow.
+
+``ExtractStage`` is a callable class, so ``map_batches(ExtractStage, ...)``
+runs it on an actor pool: the extraction-rule selectors are compiled once
+per actor in ``__init__`` (the reference's precompiled ``Matcher`` reuse,
+/root/reference/src/matcher.rs:13-24), not once per batch.
+
+Rule kinds:
+    text        concatenated text() of all matches (Selection::text)
+    attr:NAME   attr of FIRST match (Selection::attr, property.rs:22-24)
+    attrs:NAME  list of attr values over all matches that carry it
+    html        serialized html of first match (Selection::html)
+    count       number of matches (Selection::length)
+    exists      any match (Selection::exists)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pyarrow as pa
+
+from ..api import Document
+from ..css.matcher import CompiledSelector
+
+
+@dataclass(frozen=True)
+class Rule:
+    name: str
+    selector: str
+    kind: str  # text | attr:<n> | attrs:<n> | html | count | exists
+
+
+DEFAULT_RULES = (
+    Rule("title", "head title", "text"),
+    Rule("body_text", "body", "text"),
+    Rule("links", "a[href]", "attrs:href"),
+    Rule("n_links", "a[href]", "count"),
+)
+
+
+def _rule_type(kind: str) -> pa.DataType:
+    if kind == "count":
+        return pa.int64()
+    if kind == "exists":
+        return pa.bool_()
+    if kind.startswith("attrs:"):
+        return pa.list_(pa.string())
+    return pa.string()
+
+
+class ExtractStage:
+    """map_batches(ExtractStage, fn_constructor_kwargs={"rules": ...},
+    batch_format="pyarrow", concurrency=N)."""
+
+    def __init__(self, rules=DEFAULT_RULES, html_col: str = "html",
+                 keep_cols=("url",), errors: str = "null"):
+        self.rules = [r if isinstance(r, Rule) else Rule(*r) for r in rules]
+        # compile once per actor
+        self.compiled = [(r, CompiledSelector(r.selector)) for r in self.rules]
+        self.html_col = html_col
+        self.keep_cols = tuple(keep_cols)
+        self.errors = errors
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        html_col = batch.column(self.html_col)
+        n = len(html_col)
+        outs = {r.name: [] for r in self.rules}
+        ok = []
+        for i in range(n):
+            raw = html_col[i].as_py()
+            if isinstance(raw, bytes):
+                raw = raw.decode("utf-8", errors="replace")
+            try:
+                doc = Document(raw or "")
+                ok.append(True)
+            except Exception:
+                if self.errors == "raise":
+                    raise
+                ok.append(False)
+                for r in self.rules:
+                    outs[r.name].append(None)
+                continue
+            tree = doc.tree
+            for r, compiled in self.compiled:
+                sel = doc.select_compiled(compiled)
+                kind = r.kind
+                if kind == "text":
+                    outs[r.name].append(sel.text())
+                elif kind == "count":
+                    outs[r.name].append(sel.length())
+                elif kind == "exists":
+                    outs[r.name].append(sel.exists())
+                elif kind == "html":
+                    outs[r.name].append(sel.html())
+                elif kind.startswith("attr:"):
+                    outs[r.name].append(sel.attr(kind[5:]))
+                elif kind.startswith("attrs:"):
+                    name = kind[6:]
+                    vals = []
+                    for nid in sel.nids:
+                        v = tree.get_attr(nid, name)
+                        if v is not None:
+                            vals.append(v)
+                    outs[r.name].append(vals)
+                else:
+                    raise ValueError("unknown rule kind %r" % kind)
+        cols = {}
+        for c in self.keep_cols:
+            cols[c] = batch.column(c)
+        for r in self.rules:
+            cols[r.name] = pa.array(outs[r.name], _rule_type(r.kind))
+        cols["parse_ok"] = pa.array(ok, pa.bool_())
+        return pa.table(cols)
+
+
+def extract_pages(ds, rules=DEFAULT_RULES, keep_cols=("url",),
+                  batch_size: int = 64, concurrency=None, num_cpus: float = 1):
+    """Attach the extraction stage to a pages Dataset.
+
+    batch_size defaults small because html rows are large (100KB+ pages:
+    tests/fixtures/rustwiki.html is 218KB); the parse cost per row dwarfs
+    the per-batch overhead anyway."""
+    kwargs = dict(
+        fn_constructor_kwargs={"rules": rules, "keep_cols": keep_cols},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        num_cpus=num_cpus,
+    )
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    return ds.map_batches(ExtractStage, **kwargs)
