@@ -1,44 +1,530 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+`entry()` runs the flagship extraction pipeline (read pages ->
+map_batches(ExtractStage actor pool) -> extracted columns) on sf0.001.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+`queries()` exposes one callable per implemented operator family
+(SURVEY.md §2 + the training-data ops); `oracle_sql()` gives the DuckDB
+equivalent for every SQL-expressible one. Column names match between
+the Ray result and the SQL exactly. Ray is initialised by the driver —
+nothing here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
 
+_FIXTURES = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "tests", "fixtures")
+
+STOPWORDS_SQL = "('the','a','an','and','or','of','to','in','is','are'," \
+    "'was','were','be','been','it','this','that')"
+
+
+def _rd():
+    import ray.data as rd
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return rd
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: synthesize the sf0.001 pages corpus, run the
+    nipper-semantics extraction stage over it, return the Dataset."""
+    from nipper_ray.sources import read_pages
+    from nipper_ray.stages import extract_pages
+
+    ds = read_pages("/root/testdata/sf0.001", columns=["url", "html"])
+    return extract_pages(ds, batch_size=32, concurrency=4)
 
 
+# ---------------------------------------------------------------------------
+# relational operators (groupby / join / sort / filter / windows)
+# ---------------------------------------------------------------------------
+def q_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-shaped grouped aggregate with batch-local pre-aggregation
+    before the (small) groupby shuffle (ray_guide: aggregation at scale)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"])
+    cutoff = pa.scalar(np.datetime64("1998-09-02", "us"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t.column("l_shipdate"), cutoff))
+        df = t.to_pandas()
+        df["disc_price"] = df.l_extendedprice * (1.0 - df.l_discount)
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            count_order=("l_quantity", "count"))
+        return pa.Table.from_pandas(g)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=32768)
+    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_price", alias_name="sum_base_price"),
+        Sum("sum_disc_price", alias_name="sum_disc_price"),
+        Sum("count_order", alias_name="count_order"))
+
+    def finalize(df: "pd.DataFrame") -> "pd.DataFrame":
+        df["avg_qty"] = (df.sum_qty / df.count_order).round(6)
+        df["sum_qty"] = df.sum_qty.round(2)
+        df["sum_base_price"] = df.sum_base_price.round(2)
+        df["sum_disc_price"] = df.sum_disc_price.round(2)
+        return df
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+def q_segment_revenue(sf_dir: str):
+    """orders ⋈ customer via broadcast small side (no shuffle join):
+    the customer dimension is loaded once and looked up per batch."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"])
+    seg_of = dict(zip(cust.column("c_custkey").to_pylist(),
+                      cust.column("c_mktsegment").to_pylist()))
+    ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_custkey", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df["c_mktsegment"] = df.o_custkey.map(seg_of)
+        g = df.groupby("c_mktsegment", as_index=False).agg(
+            revenue=("o_totalprice", "sum"),
+            n_orders=("o_totalprice", "count"))
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pandas",
+                              batch_size=32768)
+    agg = partials.groupby("c_mktsegment").aggregate(
+        Sum("revenue", alias_name="revenue"),
+        Sum("n_orders", alias_name="n_orders"))
+    return agg.map_batches(
+        lambda df: df.assign(revenue=df.revenue.round(2)),
+        batch_format="pandas")
+
+
+def q_top_users(sf_dir: str):
+    """filter -> groupby -> global sort -> limit (top-k)."""
+    from ray.data.aggregate import Count, Sum
+
+    rd = _rd()
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type", "value"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.equal(t.column("event_type"),
+                                    pa.scalar("click"))),
+        batch_format="pyarrow")
+    agg = ds.groupby("user_id").aggregate(
+        Count(alias_name="n_clicks"), Sum("value", alias_name="sum_value"))
+    agg = agg.map_batches(
+        lambda df: df.assign(sum_value=df.sum_value.round(6)),
+        batch_format="pandas")
+    return agg.sort(["n_clicks", "user_id"],
+                    descending=[True, False]).limit(10)
+
+
+def q_hourly_windows(sf_dir: str):
+    """Tumbling event-time windows as a grouped aggregate over the
+    truncated timestamp (ray_guide: streaming-shaped workloads)."""
+    from ray.data.aggregate import Count, Sum
+
+    rd = _rd()
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "ts", "value"])
+
+    def add_hour(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "hour", pc.floor_temporal(t.column("ts"), unit="hour"))
+
+    ds = ds.map_batches(add_hour, batch_format="pyarrow")
+    agg = ds.groupby(["event_type", "hour"]).aggregate(
+        Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    return agg.map_batches(
+        lambda df: df.assign(sum_value=df.sum_value.round(6)),
+        batch_format="pandas")
+
+
+def q_distinct_types(sf_dir: str):
+    """distinct (shuffle) + filter."""
+    rd = _rd()
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "value"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.greater(t.column("value"), pa.scalar(10.0))),
+        batch_format="pyarrow")
+    return ds.unique("event_type")
+
+
+# ---------------------------------------------------------------------------
+# text analysis (documents)
+# ---------------------------------------------------------------------------
+def q_token_stats(sf_dir: str):
+    from nipper_ray.ops.textstats import token_stats
+
+    rd = _rd()
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    out = ds.map_batches(token_stats, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "n_tokens", "n_chars_computed"])
+
+
+def q_quality(sf_dir: str):
+    """Quality stats in exact integer ppm so the float-free values match
+    the SQL oracle bit-for-bit."""
+    import re
+
+    rd = _rd()
+    tok_re = re.compile(r"[A-Za-z0-9_]+")
+    punct_re = re.compile(r"[.,;:!?]")
+    stop = frozenset(
+        "the a an and or of to in is are was were be been it this that"
+        .split())
+
+    def stats(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        n_punct, stop_ppm, wlen_ppm = [], [], []
+        for s in texts:
+            s = s or ""
+            toks = tok_re.findall(s)
+            n_punct.append(len(punct_re.findall(s)))
+            if toks:
+                n_stop = sum(1 for w in toks if w.lower() in stop)
+                stop_ppm.append(n_stop * 1_000_000 // len(toks))
+                wlen_ppm.append(
+                    sum(len(w) for w in toks) * 1_000_000 // len(toks))
+            else:
+                stop_ppm.append(0)
+                wlen_ppm.append(0)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_punct": pa.array(n_punct, pa.int64()),
+            "stop_ppm": pa.array(stop_ppm, pa.int64()),
+            "word_len_ppm": pa.array(wlen_ppm, pa.int64()),
+        })
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def q_fingerprint(sf_dir: str):
+    from nipper_ray.ops.textstats import fingerprint
+
+    rd = _rd()
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    out = ds.map_batches(fingerprint, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "fp_md5"])
+
+
+def q_langid(sf_dir: str):
+    from nipper_ray.ops.textstats import LangIdStage
+
+    rd = _rd()
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    out = ds.map_batches(LangIdStage, batch_format="pyarrow",
+                         concurrency=2)
+    return out.select_columns(["doc_id", "lang_pred"])
+
+
+# ---------------------------------------------------------------------------
+# deduplication (documents)
+# ---------------------------------------------------------------------------
+def q_exact_dedup(sf_dir: str):
+    """hash-partition + per-group first: md5 content key, one groupby."""
+    from ray.data.aggregate import Count, Min
+
+    from nipper_ray.ops.textstats import fingerprint
+
+    rd = _rd()
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    keyed = ds.map_batches(fingerprint, batch_format="pyarrow")
+    agg = keyed.groupby("fp_md5").aggregate(
+        Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies"))
+    return agg.select_columns(["doc_id", "n_copies"])
+
+
+def _planted_corpus(sf_dir: str):
+    """documents ∪ deterministic 95%-prefix mutated copies
+    (doc_id + 1_000_000) — the planted near-duplicate pairs."""
+    rd = _rd()
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+
+    def mutate(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        return pa.table({
+            "doc_id": pa.array([i + 1_000_000 for i in ids], pa.int64()),
+            "text": pa.array([(s or "")[:int(len(s or "") * 0.95)]
+                              for s in texts], pa.string()),
+        })
+
+    return ds.union(ds.map_batches(mutate, batch_format="pyarrow"))
+
+
+def q_minhash_neardup(sf_dir: str):
+    """MinHash -> LSH banding -> bucket groupby -> candidate pairs ->
+    true n-gram Jaccard verification. On the planted corpus the verified
+    pairs are exactly {(d, d+1_000_000)} — which IS SQL-expressible, so
+    this approximate pipeline gets a hard oracle."""
+    import pandas as pd
+
+    from nipper_ray.ops.dedup import (candidate_pairs_from_band,
+                                      lsh_bands_stage, minhash_stage,
+                                      ngram_jaccard)
+
+    corpus = _planted_corpus(sf_dir)
+    sigs = corpus.map_batches(minhash_stage, batch_format="pyarrow",
+                              batch_size=256)
+    bands = sigs.map_batches(lsh_bands_stage, batch_format="pyarrow")
+    cand = bands.groupby(["band_id", "band_key"]).map_groups(
+        candidate_pairs_from_band, batch_format="pandas")
+    pairs = cand.to_pandas().drop_duplicates(["a", "b"])
+    # verify with true jaccard (broadcast text lookup; small corpus here,
+    # hash-join text back by id at scale)
+    texts = {r["doc_id"]: r["text"]
+             for r in corpus.take_all()}
+    keep_a, keep_b = [], []
+    for a, b in zip(pairs["a"], pairs["b"]):
+        if ngram_jaccard(texts[a], texts[b], 3) >= 0.6:
+            keep_a.append(int(a))
+            keep_b.append(int(b))
+    out = pd.DataFrame({"a": keep_a, "b": keep_b}).sort_values(["a", "b"])
+    return pa.Table.from_pandas(out.reset_index(drop=True))
+
+
+def q_simhash(sf_dir: str):
+    from nipper_ray.ops.dedup import simhash_stage
+
+    rd = _rd()
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    out = ds.map_batches(simhash_stage, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "simhash"])
+
+
+def q_embedding_neardup(sf_dir: str):
+    """embedding-cosine near-dup pairs (threshold 0.3, rounded sims)."""
+    from nipper_ray.ops.dedup import embedding_neardup_pairs
+
+    rd = _rd()
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    # all-pairs within one table: materialize to a single Arrow table
+    # (embeddings are the small side; at scale this runs per LSH bucket)
+    t = pa.concat_tables([pa.Table.from_pydict(b)
+                          for b in ds.iter_batches(
+                              batch_size=65536, batch_format="pydict")])
+    out = embedding_neardup_pairs(t, threshold=0.3)
+    return out.select(["a", "b"])
+
+
+# ---------------------------------------------------------------------------
+# similarity search (embeddings)
+# ---------------------------------------------------------------------------
+def _query_vectors(sf_dir: str, n: int = 5):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    t = t.filter(pc.less(t.column("vec_id"), pa.scalar(n)))
+    return {"ids": t.column("vec_id").to_pylist(),
+            "vectors": t.column("embedding").to_pylist()}
+
+
+def q_ann_topk(sf_dir: str):
+    """Exact brute-force cosine top-10 (numpy matmul per batch against a
+    broadcast query matrix; per-block top-k then a tiny driver reduce)."""
+    import ray
+
+    from nipper_ray.ops.similarity import brute_force_topk
+
+    rd = _rd()
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    qref = ray.put(_query_vectors(sf_dir))
+    return brute_force_topk(ds, qref, k=10, concurrency=2)
+
+
+def q_ann_lsh(sf_dir: str):
+    """Approximate LSH-bucketed variant (the scale path; rows-only)."""
+    import ray
+
+    from nipper_ray.ops.similarity import lsh_topk
+
+    rd = _rd()
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    qref = ray.put(_query_vectors(sf_dir))
+    return lsh_topk(ds, qref, k=10, probes=4, dim=64, concurrency=2)
+
+
+# ---------------------------------------------------------------------------
+# extraction + multimodal (rows-only; pinned by pytest byte-equality)
+# ---------------------------------------------------------------------------
+def q_extract(sf_dir: str):
+    from nipper_ray.sources import read_pages
+    from nipper_ray.stages import extract_pages
+
+    ds = read_pages(sf_dir, columns=["url", "html"])
+    out = extract_pages(ds, batch_size=32, concurrency=2)
+    return out.select_columns(["url", "title", "n_links"])
+
+
+def q_media_features(sf_dir: str):
+    from nipper_ray.ops.multimodal import (MediaFeatureStage,
+                                           media_table_from_documents)
+
+    rd = _rd()
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    media = ds.map_batches(media_table_from_documents,
+                           batch_format="pyarrow")
+    out = media.map_batches(MediaFeatureStage, batch_format="pyarrow",
+                            batch_size=64, concurrency=2)
+    return out.select_columns(["media_id", "kind", "n_bytes", "feat_mean"])
+
+
+# ---------------------------------------------------------------------------
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pricing_summary": q_pricing_summary,
+        "segment_revenue": q_segment_revenue,
+        "top_users": q_top_users,
+        "hourly_windows": q_hourly_windows,
+        "distinct_types": q_distinct_types,
+        "token_stats": q_token_stats,
+        "quality": q_quality,
+        "fingerprint": q_fingerprint,
+        "langid": q_langid,
+        "exact_dedup": q_exact_dedup,
+        "minhash_neardup": q_minhash_neardup,
+        "simhash": q_simhash,
+        "embedding_neardup": q_embedding_neardup,
+        "ann_topk": q_ann_topk,
+        "ann_lsh": q_ann_lsh,
+        "extract": q_extract,
+        "media_features": q_media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS sum_disc_price,
+                   count(*) AS count_order,
+                   round(sum(l_quantity) / count(*), 6) AS avg_qty
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "segment_revenue": """
+            SELECT c_mktsegment,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "top_users": """
+            SELECT user_id, count(*) AS n_clicks,
+                   round(sum(value), 6) AS sum_value
+            FROM events WHERE event_type = 'click'
+            GROUP BY user_id
+            ORDER BY n_clicks DESC, user_id LIMIT 10
+        """,
+        "hourly_windows": """
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   count(*) AS n, round(sum(value), 6) AS sum_value
+            FROM events GROUP BY event_type, hour
+        """,
+        "distinct_types": """
+            SELECT DISTINCT event_type FROM events WHERE value > 10.0
+        """,
+        "token_stats": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z0-9_]+'))
+                       AS n_tokens,
+                   length(text) AS n_chars_computed
+            FROM documents
+        """,
+        "quality": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(text, '[A-Za-z0-9_]+') AS t,
+                       len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct
+                FROM documents)
+            SELECT doc_id, n_punct,
+                   CASE WHEN len(t) = 0 THEN 0 ELSE
+                     len(list_filter(t, x -> lower(x) IN %s))
+                       * 1000000 // len(t) END AS stop_ppm,
+                   CASE WHEN len(t) = 0 THEN 0 ELSE
+                     list_sum(list_transform(t, x -> length(x)))
+                       * 1000000 // len(t) END AS word_len_ppm
+            FROM toks
+        """ % STOPWORDS_SQL,
+        "fingerprint": """
+            SELECT doc_id, md5(text) AS fp_md5 FROM documents
+        """,
+        "exact_dedup": """
+            SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "minhash_neardup": """
+            SELECT doc_id AS a, doc_id + 1000000 AS b
+            FROM documents ORDER BY a
+        """,
+        "embedding_neardup": """
+            SELECT e1.vec_id AS a, e2.vec_id AS b
+            FROM embeddings e1 JOIN embeddings e2
+              ON e1.vec_id < e2.vec_id
+            WHERE round(list_cosine_similarity(
+                    e1.embedding, e2.embedding), 6) >= 0.3
+            ORDER BY a, b
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT vec_id, embedding FROM embeddings
+                       WHERE vec_id < 5),
+                 s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                              round(list_cosine_similarity(
+                                  q.embedding, e.embedding), 6) AS sim
+                       FROM q CROSS JOIN embeddings e)
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, neighbor_id)
+                       AS rank
+            FROM s QUALIFY rank <= 10
+            ORDER BY query_id, rank
+        """,
+        # langid / simhash / ann_lsh / extract / media_features:
+        # intentionally no oracle (heuristic / approximate / non-SQL) ->
+        # driver records rows-only checks.
+    }

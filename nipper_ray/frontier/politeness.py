@@ -1,0 +1,110 @@
+"""Per-host politeness, robots filtering and priority selection.
+
+Crawl-ordering rule (deterministic, documented for parity tests —
+FIXTURES.md §4): within a host, candidates are ordered by
+(priority desc, url asc) and at most ``per_host_budget`` are taken per
+wave (a wave-budget token count, NOT a wall-clock timer, so parity runs
+are reproducible — SURVEY.md §7 hard parts). The global wave is then
+ordered by (priority desc, url asc) and capped at ``wave_budget``.
+
+Skew handling: the politeness group-by is salted — top-B is computed per
+(host, salt) subgroup first, then re-reduced per host. Top-B of the
+union of per-salt top-Bs equals the exact per-host top-B, so the hot
+host's work fans out over SALT_N tasks without changing semantics.
+
+Robots: the sandbox has no network, so robots.txt is a deterministic
+synthetic policy per host (path /doc/<id> disallowed iff
+id % 41 == xxh64(host) % 41); the *plumbing* is real — rules are
+fetched once per host and memoized in actor state (RobotsCache),
+exactly where an HTTP robots fetch would go.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .hashing import xxh64_str
+
+SALT_N = 8
+_DOC_RE = re.compile(r"/doc/(\d+)$")
+
+
+class RobotsCache:
+    """Per-worker robots rule cache (one 'fetch' per host)."""
+
+    def __init__(self):
+        self._rules = {}
+
+    def disallowed_residue(self, host: str) -> int:
+        r = self._rules.get(host)
+        if r is None:
+            # stand-in for: GET http://{host}/robots.txt + parse
+            r = xxh64_str(host) % 41
+            self._rules[host] = r
+        return r
+
+    def allowed(self, host: str, path: str) -> bool:
+        m = _DOC_RE.search(path)
+        if m is None:
+            return True
+        return int(m.group(1)) % 41 != self.disallowed_residue(host)
+
+
+class RobotsFilterStage:
+    """map_batches actor stage: drop robots-disallowed URLs; the rules
+    cache lives for the actor's lifetime."""
+
+    def __init__(self, url_col: str = "url"):
+        self.cache = RobotsCache()
+        self.url_col = url_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from urllib.parse import urlsplit
+
+        urls = batch.column(self.url_col).to_pylist()
+        allowed = self.cache
+        mask = []
+        for u in urls:
+            parts = urlsplit(u)
+            mask.append(allowed.allowed((parts.hostname or "").lower(),
+                                        parts.path))
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+
+def add_salt(batch: pa.Table, num_salts: int = SALT_N) -> pa.Table:
+    h = batch.column("url_hash").to_numpy(zero_copy_only=False)
+    salt = ((h >> np.uint64(32)) % np.uint64(num_salts)).astype(np.int32)
+    return batch.append_column("salt", pa.array(salt, pa.int32()))
+
+
+def top_b_per_group(budget: int):
+    """map_groups fn: deterministic (priority desc, url asc) head-B."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["priority", "url"],
+                          ascending=[False, True], kind="mergesort")
+        return g.head(budget)
+
+    return fn
+
+
+def select_wave(frontier_ds, per_host_budget: int, wave_budget: int,
+                num_salts: int = SALT_N):
+    """Politeness + priority selection over a deduped frontier Dataset.
+
+    Two groupby shuffles (salted then per-host) + one global sort/limit;
+    all ordering keys are deterministic (no wall clock)."""
+    ds = frontier_ds.map_batches(
+        lambda t: add_salt(t, num_salts), batch_format="pyarrow")
+    ds = ds.groupby(["host", "salt"]).map_groups(
+        top_b_per_group(per_host_budget), batch_format="pandas")
+    ds = ds.groupby("host").map_groups(
+        top_b_per_group(per_host_budget), batch_format="pandas")
+    ds = ds.drop_columns(["salt"])
+    ds = ds.sort(["priority", "url"], descending=[True, False])
+    return ds.limit(wave_budget)

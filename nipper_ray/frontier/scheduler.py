@@ -1,0 +1,266 @@
+"""Wave-based crawl scheduler: the end-to-end frontier loop.
+
+Each wave is one streaming Dataset execution (SURVEY.md §3.3):
+
+    read frontier/wave=k (Parquet)
+      -> CanonStage            (canonicalize + xxh64 + host columns)
+      -> RobotsFilterStage     (actor pool; robots cache in actor state)
+      -> DedupStage            (sharded cuckoo-filter probe+insert)
+      -> select_wave           (salted per-host top-B, global top-K)
+      -> SynthFetchStage       (actor pool; broadcast corpus texts)
+      -> ExtractStage          (nipper-semantics parse + a[href] links)
+      -> write pages/wave=k    (Parquet partition)
+    outlinks -> canonicalized -> frontier/wave=k+1 (Parquet partition)
+
+Checkpoint/resume: after each wave, ckpt/wave=k/ holds the cuckoo shard
+snapshots, wave metrics, per-partition lineage and a _SUCCESS marker
+written last. ``run_crawl(resume=True)`` finds the last complete wave,
+restores the shard filters byte-exactly and continues; pages fetched in
+completed waves are never re-fetched.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..stages.extract import ExtractStage, Rule
+from .canonicalize import canonicalize_url, host_of
+from .fetch import SynthFetchStage, put_doc_texts
+from .hashing import xxh64_str
+from .politeness import RobotsFilterStage, select_wave
+from .seen import DedupStage, SeenSet
+
+FRONTIER_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("host", pa.string()),
+    ("url_hash", pa.uint64()),
+    ("depth", pa.int32()),
+    ("priority", pa.float64()),
+    ("discovered_ts", pa.timestamp("ms")),
+    ("src_url", pa.string()),
+])
+
+CRAWL_RULES = (
+    Rule("title", "head title", "text"),
+    Rule("body_text", "body", "text"),
+    Rule("links", "a[href]", "attrs:href"),
+)
+
+_WAVE_TS0 = 1_600_000_000_000  # deterministic discovery timestamps
+
+
+def _priority_for(depth: int) -> float:
+    return round(1.0 / (1 + depth), 6)
+
+
+def frontier_rows(urls, depth: int, src_urls=None, wave: int = 0):
+    """Build canonical frontier rows (driver-side, for seeds/tests)."""
+    rows = {"url": [], "host": [], "url_hash": [], "depth": [],
+            "priority": [], "discovered_ts": [], "src_url": []}
+    src_urls = src_urls or [""] * len(urls)
+    for u, s in zip(urls, src_urls):
+        cu = canonicalize_url(u, base=s or None)
+        if cu is None:
+            continue
+        rows["url"].append(cu)
+        rows["host"].append(host_of(cu))
+        rows["url_hash"].append(xxh64_str(cu))
+        rows["depth"].append(depth)
+        rows["priority"].append(_priority_for(depth))
+        rows["discovered_ts"].append(_WAVE_TS0 + wave * 1000)
+        rows["src_url"].append(s)
+    return pa.table(rows, schema=FRONTIER_SCHEMA)
+
+
+class CanonStage:
+    """Canonicalize raw outlink rows into frontier rows."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        srcs = batch.column("src_url").to_pylist()
+        depths = batch.column("depth").to_pylist()
+        waves = batch.column("wave").to_pylist()
+        rows = {"url": [], "host": [], "url_hash": [], "depth": [],
+                "priority": [], "discovered_ts": [], "src_url": []}
+        for u, s, d, w in zip(urls, srcs, depths, waves):
+            cu = canonicalize_url(u, base=s or None)
+            if cu is None:
+                continue
+            rows["url"].append(cu)
+            rows["host"].append(host_of(cu))
+            rows["url_hash"].append(xxh64_str(cu))
+            rows["depth"].append(d)
+            rows["priority"].append(_priority_for(d))
+            rows["discovered_ts"].append(_WAVE_TS0 + w * 1000)
+            rows["src_url"].append(s)
+        return pa.table(rows, schema=FRONTIER_SCHEMA)
+
+
+def _write_ds(ds, path: str) -> int:
+    os.makedirs(path, exist_ok=True)
+    ds.write_parquet(path)
+    return sum(pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+               for f in os.listdir(path) if f.endswith(".parquet"))
+
+
+def _count_parquet_dir(path: str) -> int:
+    return sum(pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+               for f in os.listdir(path) if f.endswith(".parquet"))
+
+
+class CrawlJob:
+    def __init__(self, sf_dir: str, out_dir: str, num_shards: int = 8,
+                 per_host_budget: int = 50, wave_budget: int = 400,
+                 shard_capacity: int = 1 << 20, limit=None,
+                 extract_concurrency=4, fixtures_dir=None,
+                 pool_size: int = 2, actor_cpus: float = 1.0):
+        self.sf_dir = sf_dir
+        self.out_dir = out_dir
+        self.num_shards = num_shards
+        self.per_host_budget = per_host_budget
+        self.wave_budget = wave_budget
+        self.limit = limit
+        self.extract_concurrency = extract_concurrency
+        self.fixtures_dir = fixtures_dir
+        self.pool_size = pool_size
+        self.actor_cpus = actor_cpus
+        self.seen = SeenSet(num_shards, shard_capacity)
+        self.texts_ref, self.n_docs = put_doc_texts(sf_dir, limit=limit)
+
+    # -- paths ----------------------------------------------------------
+    def _pages_dir(self, k):
+        return os.path.join(self.out_dir, "pages", "wave=%d" % k)
+
+    def _frontier_dir(self, k):
+        return os.path.join(self.out_dir, "frontier", "wave=%d" % k)
+
+    def _ckpt_dir(self, k):
+        return os.path.join(self.out_dir, "ckpt", "wave=%d" % k)
+
+    def last_complete_wave(self):
+        k = -1
+        while os.path.exists(os.path.join(self._ckpt_dir(k + 1),
+                                          "_SUCCESS")):
+            k += 1
+        return k
+
+    # -- lifecycle -------------------------------------------------------
+    def seed(self, seed_urls):
+        t = frontier_rows(seed_urls, depth=0, wave=0)
+        d = self._frontier_dir(0)
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(t, os.path.join(d, "seed.parquet"))
+
+    def resume(self):
+        """Restore the seen set from the last complete wave's checkpoint.
+        Returns the next wave index to run."""
+        k = self.last_complete_wave()
+        if k >= 0:
+            ck = self._ckpt_dir(k)
+            paths = [os.path.join(ck, "seen_shard_%d.bin" % i)
+                     for i in range(self.num_shards)]
+            self.seen.restore_from(paths)
+        return k + 1
+
+    def run_wave(self, k: int) -> dict:
+        import ray.data as rd
+
+        frontier_in = self._frontier_dir(k)
+        n_in = _count_parquet_dir(frontier_in)
+        # columns= prunes the read AND drops the hive partition column
+        # ray.data infers from the wave=k directory name
+        ds = rd.read_parquet(frontier_in, columns=list(FRONTIER_SCHEMA.names))
+        ds = ds.map_batches(RobotsFilterStage, batch_format="pyarrow",
+                            concurrency=self.pool_size,
+                            num_cpus=self.actor_cpus)
+        ds = ds.map_batches(
+            DedupStage, batch_format="pyarrow",
+            fn_constructor_kwargs={"shard_handles": self.seen.shards},
+            concurrency=self.pool_size, num_cpus=self.actor_cpus)
+        wave = select_wave(ds, self.per_host_budget, self.wave_budget)
+        wave = wave.map_batches(
+            SynthFetchStage, batch_format="pyarrow", batch_size=64,
+            fn_constructor_kwargs={
+                "doc_texts_ref": self.texts_ref, "n_docs": self.n_docs,
+                "fixtures_dir": self.fixtures_dir},
+            concurrency=self.pool_size, num_cpus=self.actor_cpus)
+        wave = wave.map_batches(
+            ExtractStage, batch_format="pyarrow", batch_size=32,
+            fn_constructor_kwargs={
+                "rules": CRAWL_RULES,
+                "keep_cols": ("url", "host", "depth", "priority",
+                              "warc_ts")},
+            concurrency=self.extract_concurrency,
+            num_cpus=self.actor_cpus)
+        n_pages = _write_ds(wave, self._pages_dir(k))
+
+        # outlinks -> next wave's frontier partitions
+        pages = rd.read_parquet(self._pages_dir(k),
+                                columns=["url", "links", "depth"])
+
+        def explode(t: pa.Table) -> pa.Table:
+            urls, srcs, depths, waves = [], [], [], []
+            for src, links, d in zip(t.column("url").to_pylist(),
+                                     t.column("links").to_pylist(),
+                                     t.column("depth").to_pylist()):
+                for link in links or []:
+                    urls.append(link)
+                    srcs.append(src)
+                    depths.append(d + 1)
+                    waves.append(k + 1)
+            return pa.table({
+                "url": pa.array(urls, pa.string()),
+                "src_url": pa.array(srcs, pa.string()),
+                "depth": pa.array(depths, pa.int32()),
+                "wave": pa.array(waves, pa.int32()),
+            })
+
+        out = pages.map_batches(explode, batch_format="pyarrow")
+        out = out.map_batches(CanonStage(), batch_format="pyarrow")
+        n_frontier = _write_ds(out, self._frontier_dir(k + 1))
+
+        # checkpoint (marker written last)
+        ck = self._ckpt_dir(k)
+        os.makedirs(ck, exist_ok=True)
+        self.seen.snapshot_to(
+            [os.path.join(ck, "seen_shard_%d.bin" % i)
+             for i in range(self.num_shards)])
+        metrics = {
+            "wave": k,
+            "frontier_in": n_in,
+            "pages_fetched": n_pages,
+            "outlinks_discovered": n_frontier,
+            "seen_counts": self.seen.counts(),
+            "pages_dir": self._pages_dir(k),
+            "frontier_out": self._frontier_dir(k + 1),
+        }
+        with open(os.path.join(ck, "manifest.json"), "w") as f:
+            json.dump(metrics, f, indent=1)
+        with open(os.path.join(ck, "_SUCCESS"), "w") as f:
+            f.write("")
+        return metrics
+
+    def shutdown(self):
+        self.seen.shutdown()
+
+
+def run_crawl(sf_dir: str, out_dir: str, seed_urls, waves: int = 3,
+              resume: bool = False, **kw) -> list:
+    """Run (or resume) a multi-wave crawl; returns per-wave metrics."""
+    job = CrawlJob(sf_dir, out_dir, **kw)
+    try:
+        if resume:
+            start = job.resume()
+        else:
+            job.seed(seed_urls)
+            start = 0
+        out = []
+        for k in range(start, waves):
+            out.append(job.run_wave(k))
+        return out
+    finally:
+        job.shutdown()

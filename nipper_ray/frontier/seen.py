@@ -1,0 +1,114 @@
+"""Sharded URL-seen set: cuckoo-filter shards held in Ray actors.
+
+This is the one place the engine drops below the Dataset API: the seen
+set is a *shared mutable index* that must persist across waves and be
+consulted/updated from every dedup task, which ``map_batches`` alone
+cannot express (SURVEY.md §2.7). Design:
+
+- S shard actors, shard routing by ``url_hash % S`` — stable across
+  waves and resumes, so each shard's filter is authoritative for its
+  hash space;
+- the dedup stage is a ``map_batches`` callable class holding the shard
+  handles; per batch it partitions hashes by shard (numpy), issues one
+  batched RPC per touched shard in parallel, and filters the batch by
+  the returned new-masks;
+- probe-then-insert is idempotent, so a Ray task retry that replays a
+  batch cannot corrupt the set (it just sees duplicates);
+- ``snapshot()/restore()`` round-trip each shard byte-exactly for the
+  per-wave checkpoint.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from .cuckoo import CuckooFilter
+
+
+@ray.remote(num_cpus=0.25)
+class SeenShard:
+    """One authoritative shard of the URL-seen set."""
+
+    def __init__(self, shard_id: int, capacity: int):
+        self.shard_id = shard_id
+        self.filter = CuckooFilter(capacity)
+
+    def check_and_add(self, hashes: np.ndarray) -> np.ndarray:
+        return self.filter.check_and_add_many(hashes)
+
+    def contains(self, hashes: np.ndarray) -> np.ndarray:
+        return np.array([self.filter.contains_hash(int(h)) for h in hashes],
+                        dtype=bool)
+
+    def snapshot(self) -> bytes:
+        return self.filter.snapshot()
+
+    def restore(self, blob: bytes) -> None:
+        self.filter = CuckooFilter.restore(blob)
+
+    def count(self) -> int:
+        return len(self.filter)
+
+
+class SeenSet:
+    """Driver-side manager for the shard actors."""
+
+    def __init__(self, num_shards: int = 8,
+                 capacity_per_shard: int = 1 << 20):
+        self.num_shards = num_shards
+        self.shards = [SeenShard.remote(i, capacity_per_shard)
+                       for i in range(num_shards)]
+
+    def counts(self):
+        return ray.get([s.count.remote() for s in self.shards])
+
+    def snapshot_to(self, paths):
+        blobs = ray.get([s.snapshot.remote() for s in self.shards])
+        for path, blob in zip(paths, blobs):
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(blob)
+            import os
+            os.replace(tmp, path)
+
+    def restore_from(self, paths):
+        refs = []
+        for shard, path in zip(self.shards, paths):
+            with open(path, "rb") as f:
+                refs.append(shard.restore.remote(f.read()))
+        ray.get(refs)
+
+    def shutdown(self):
+        for s in self.shards:
+            ray.kill(s)
+        self.shards = []
+
+
+class DedupStage:
+    """map_batches stage: keep only rows whose url_hash is new.
+
+    First occurrence wins (also within a batch); metadata of duplicate
+    discoveries (src_url) is dropped with the duplicate row."""
+
+    def __init__(self, shard_handles, hash_col: str = "url_hash"):
+        self.handles = shard_handles
+        self.num_shards = len(shard_handles)
+        self.hash_col = hash_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch
+        h = batch.column(self.hash_col).to_numpy(zero_copy_only=False)
+        shard = (h % np.uint64(self.num_shards)).astype(np.int64)
+        mask = np.zeros(len(h), dtype=bool)
+        touched = np.unique(shard)
+        refs, idxs = [], []
+        for s in touched:
+            idx = np.nonzero(shard == s)[0]
+            idxs.append(idx)
+            refs.append(self.handles[int(s)].check_and_add.remote(h[idx]))
+        for idx, res in zip(idxs, ray.get(refs)):
+            mask[idx] = res
+        return batch.filter(pa.array(mask))

@@ -1,0 +1,150 @@
+"""Similarity search over an embedding column (list<float>).
+
+- Brute-force cosine top-k: the baseline. Query matrix is broadcast once
+  (``ray.put``), each ``map_batches`` task does one float64 matmul of
+  its batch against the queries and emits only its local top-k rows;
+  the driver reduces the tiny per-block top-k lists. Nothing but
+  (query_id, neighbor_id, sim) rows ever leave a task.
+- LSH-bucketed variant (the scale path): random-hyperplane signatures
+  (fixed seed) bucket the corpus; candidates are only scored within the
+  query's bucket probes, turning the scan into a groupby over narrow
+  rows. Recall is approximate by construction.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pyarrow as pa
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+class BruteForceTopKStage:
+    """map_batches actor stage: local top-k per query against one batch."""
+
+    def __init__(self, queries_ref, k: int = 10, id_col: str = "vec_id"):
+        import ray
+
+        q = ray.get(queries_ref)  # once per actor (broadcast)
+        self.q_ids = q["ids"]
+        self.q_mat = _normalize(np.asarray(q["vectors"], dtype=np.float64))
+        self.k = k
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(self.id_col).to_pylist(),
+                         dtype=np.int64)
+        m = _normalize(np.array(batch.column("embedding").to_pylist(),
+                                dtype=np.float64))
+        sims = self.q_mat @ m.T  # (n_queries, batch)
+        k = min(self.k, sims.shape[1])
+        top = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        q_out, n_out, s_out = [], [], []
+        for qi in range(sims.shape[0]):
+            for j in top[qi]:
+                q_out.append(int(self.q_ids[qi]))
+                n_out.append(int(ids[j]))
+                s_out.append(float(sims[qi, j]))
+        return pa.table({
+            "query_id": pa.array(q_out, pa.int64()),
+            "neighbor_id": pa.array(n_out, pa.int64()),
+            "sim": pa.array(s_out, pa.float64()),
+        })
+
+
+def topk_reduce(rows, k: int):
+    """Driver-side reduce of per-block candidates -> exact global top-k.
+
+    Deterministic order: sim desc (rounded to 1e-6), neighbor_id asc."""
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(
+            (-round(r["sim"], 6), r["neighbor_id"]))
+    out = {"query_id": [], "neighbor_id": [], "rank": []}
+    for q in sorted(by_q):
+        best = heapq.nsmallest(k, by_q[q])
+        for rank, (_negsim, nid) in enumerate(best, 1):
+            out["query_id"].append(q)
+            out["neighbor_id"].append(nid)
+            out["rank"].append(rank)
+    return pa.table({
+        "query_id": pa.array(out["query_id"], pa.int64()),
+        "neighbor_id": pa.array(out["neighbor_id"], pa.int64()),
+        "rank": pa.array(out["rank"], pa.int64()),
+    })
+
+
+def brute_force_topk(ds, queries_ref, k: int = 10, concurrency=2):
+    """Full pipeline: Dataset[embeddings] -> exact top-k neighbor table."""
+    cand = ds.map_batches(
+        BruteForceTopKStage, batch_format="pyarrow", batch_size=1024,
+        fn_constructor_kwargs={"queries_ref": queries_ref, "k": k},
+        concurrency=concurrency)
+    return topk_reduce(cand.take_all(), k)
+
+
+# -- LSH-bucketed ANN (scale path) -----------------------------------------
+_N_PLANES = 16
+
+
+def _planes(dim: int) -> np.ndarray:
+    # fixed-seed random hyperplanes: deterministic across workers
+    rng = np.random.RandomState(0xC0FFEE)
+    return rng.standard_normal((_N_PLANES, dim))
+
+
+class LshBucketStage:
+    """Adds a 16-bit random-hyperplane bucket key per row."""
+
+    def __init__(self, dim: int):
+        self.planes = _planes(dim)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = np.array(batch.column("embedding").to_pylist(),
+                     dtype=np.float64)
+        bits = (m @ self.planes.T) > 0
+        keys = np.zeros(len(m), dtype=np.int64)
+        for b in range(_N_PLANES):
+            keys |= bits[:, b].astype(np.int64) << b
+        return batch.append_column("lsh_bucket",
+                                   pa.array(keys, pa.int64()))
+
+
+def lsh_topk(ds, queries_ref, k: int = 10, probes: int = 2,
+             dim: int = 64, concurrency=2):
+    """Approximate top-k: score only rows in the query's bucket (plus
+    nearest hamming-1 probe buckets)."""
+    import ray
+
+    q = ray.get(queries_ref)
+    q_mat = np.asarray(q["vectors"], dtype=np.float64)
+    planes = _planes(dim)
+    q_bits = (q_mat @ planes.T) > 0
+    wanted = set()
+    for row in q_bits:
+        key = 0
+        for b in range(_N_PLANES):
+            key |= int(row[b]) << b
+        wanted.add(key)
+        for flip in range(min(probes, _N_PLANES)):
+            wanted.add(key ^ (1 << flip))
+    bucketed = ds.map_batches(LshBucketStage, batch_format="pyarrow",
+                              fn_constructor_kwargs={"dim": dim},
+                              concurrency=concurrency)
+    wanted_arr = pa.array(sorted(wanted), pa.int64())
+    filtered = bucketed.map_batches(
+        lambda t: t.filter(
+            pa.compute.is_in(t.column("lsh_bucket"),
+                             value_set=wanted_arr)),
+        batch_format="pyarrow")
+    cand = filtered.map_batches(
+        BruteForceTopKStage, batch_format="pyarrow", batch_size=1024,
+        fn_constructor_kwargs={"queries_ref": queries_ref, "k": k},
+        concurrency=concurrency)
+    return topk_reduce(cand.take_all(), k)

@@ -115,20 +115,25 @@ def _load_fixture(name: str) -> str:
 
 
 def build_pages_table(sf_dir: str, limit: int | None = None,
-                      include_fixtures: bool = True) -> pa.Table:
-    """Build the pages table for one scale factor, deterministically."""
+                      include_fixtures: bool = True,
+                      repeat: int = 1) -> pa.Table:
+    """Build the pages table for one scale factor, deterministically.
+
+    ``repeat`` scales the page count: page doc_id r*n_docs+i reuses
+    document i's text (distinct URL/links/title) — the bench knob."""
     docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "text", "lang"])
     if limit is not None:
         docs = docs.slice(0, limit)
-    doc_ids = docs.column("doc_id").to_pylist()
     texts = docs.column("text").to_pylist()
     langs = docs.column("lang").to_pylist()
-    n_docs = len(doc_ids)
+    n_base = len(texts)
+    n_docs = n_base * repeat
 
     urls, tss, htmls, page_texts, page_langs = [], [], [], [], []
-    for doc_id, text, lang in zip(doc_ids, texts, langs):
-        text = text or ""
+    for doc_id in range(n_docs):
+        text = texts[doc_id % n_base] or ""
+        lang = langs[doc_id % n_base]
         urls.append(page_url(doc_id))
         tss.append(EPOCH_MS + doc_id * 1000)
         htmls.append(gen_page_html(doc_id, text, n_docs).encode("utf-8"))
@@ -154,21 +159,24 @@ def build_pages_table(sf_dir: str, limit: int | None = None,
 def synth_pages_parquet(sf_dir: str, out_dir: str | None = None,
                         limit: int | None = None,
                         include_fixtures: bool = True,
-                        row_group_size: int = 512) -> str:
+                        row_group_size: int = 512,
+                        repeat: int = 1) -> str:
     """Materialize (once) the synthetic pages corpus for *sf_dir*.
 
     Output is cached under /tmp keyed by the source dir + limit; row
     groups are kept small so ray.data.read_parquet can split the file
     into many blocks (one ~200KB html row is heavy)."""
-    tag = "%s_l%s%s" % (os.path.basename(os.path.normpath(sf_dir)),
-                        limit, "" if include_fixtures else "_nofix")
+    tag = "%s_l%s_r%d%s" % (os.path.basename(os.path.normpath(sf_dir)),
+                            limit, repeat,
+                            "" if include_fixtures else "_nofix")
     out_dir = out_dir or os.path.join("/tmp", "nipper_ray_pages", tag)
     path = os.path.join(out_dir, "pages.parquet")
     if os.path.exists(path):
         return path
     os.makedirs(out_dir, exist_ok=True)
     table = build_pages_table(sf_dir, limit=limit,
-                              include_fixtures=include_fixtures)
+                              include_fixtures=include_fixtures,
+                              repeat=repeat)
     tmp = path + ".tmp"
     pq.write_table(table, tmp, row_group_size=row_group_size)
     os.replace(tmp, path)
@@ -176,10 +184,12 @@ def synth_pages_parquet(sf_dir: str, out_dir: str | None = None,
 
 
 def read_pages(sf_dir: str, limit: int | None = None,
-               include_fixtures: bool = True, columns=None):
+               include_fixtures: bool = True, columns=None,
+               repeat: int = 1):
     """ray.data.Dataset over the synthetic pages corpus (column-pruned)."""
     import ray.data as rd
 
     path = synth_pages_parquet(sf_dir, limit=limit,
-                               include_fixtures=include_fixtures)
+                               include_fixtures=include_fixtures,
+                               repeat=repeat)
     return rd.read_parquet(path, columns=columns)

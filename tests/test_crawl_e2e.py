@@ -1,0 +1,109 @@
+"""End-to-end crawl-loop invariants (FIXTURES.md §4):
+
+- dedup: no URL fetched twice across waves; frontier wave k+1 contains
+  each canonical URL at most once after the seen-set probe;
+- ordering parity: two independent runs under the same seed list and
+  politeness budget fetch the same URLs in the same deterministic order
+  (priority desc, url asc within the wave cap);
+- resume: killing after wave 0 and resuming from the checkpoint
+  produces the same wave-1 fetch set without re-fetching wave 0.
+"""
+
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from conftest import FIXTURES
+
+SF = "/root/testdata/sf0.001"
+KW = dict(num_shards=2, per_host_budget=20, wave_budget=80,
+          extract_concurrency=1, pool_size=1, actor_cpus=0.45,
+          fixtures_dir=FIXTURES)
+
+
+def _seeds():
+    from nipper_ray.sources.synth import page_url
+
+    return [page_url(i) for i in range(0, 40, 5)]
+
+
+def _fetched(out_dir, wave):
+    d = os.path.join(out_dir, "pages", "wave=%d" % wave)
+    rows = []
+    for f in sorted(os.listdir(d)):
+        if f.endswith(".parquet"):
+            t = pq.read_table(os.path.join(d, f),
+                              columns=["url", "priority"])
+            rows.extend(t.to_pylist())
+    return rows
+
+
+def _run(out_dir, waves=2, resume=False):
+    from nipper_ray.frontier.scheduler import run_crawl
+
+    shutil.rmtree(out_dir, ignore_errors=True) if not resume else None
+    return run_crawl(SF, out_dir, _seeds(), waves=waves, resume=resume,
+                     **KW)
+
+
+@pytest.fixture(scope="module")
+def crawl_a(ray_session):
+    out = "/tmp/crawl_a"
+    metrics = _run(out, waves=2)
+    return out, metrics
+
+
+def test_no_url_fetched_twice(crawl_a):
+    out, metrics = crawl_a
+    seen = set()
+    for k in range(2):
+        urls = [r["url"] for r in _fetched(out, k)]
+        assert len(urls) == len(set(urls)), "dup within wave %d" % k
+        dups = seen.intersection(urls)
+        assert not dups, "re-fetched across waves: %s" % list(dups)[:5]
+        seen.update(urls)
+    from urllib.parse import urlsplit
+
+    from nipper_ray.frontier.politeness import RobotsCache
+
+    rc = RobotsCache()
+    allowed = [u for u in _seeds()
+               if rc.allowed(urlsplit(u).hostname, urlsplit(u).path)]
+    assert metrics[0]["pages_fetched"] == len(allowed)
+
+
+def test_frontier_metrics_consistent(crawl_a):
+    out, metrics = crawl_a
+    for m in metrics:
+        assert m["pages_fetched"] <= KW["wave_budget"]
+        assert sum(m["seen_counts"]) >= m["pages_fetched"]
+
+
+def test_ordering_parity(crawl_a, ray_session):
+    out_a, _ = crawl_a
+    out_b = "/tmp/crawl_b"
+    _run(out_b, waves=2)
+    for k in range(2):
+        a = sorted(_fetched(out_a, k), key=lambda r: (-r["priority"],
+                                                      r["url"]))
+        b = sorted(_fetched(out_b, k), key=lambda r: (-r["priority"],
+                                                      r["url"]))
+        assert [r["url"] for r in a] == [r["url"] for r in b], \
+            "wave %d fetch set/order differs" % k
+
+
+def test_resume_from_checkpoint(crawl_a, ray_session):
+    out_a, _ = crawl_a
+    out_c = "/tmp/crawl_c"
+    shutil.rmtree(out_c, ignore_errors=True)
+    _run(out_c, waves=1)  # "killed" after wave 0's checkpoint
+    wave0_before = {r["url"] for r in _fetched(out_c, 0)}
+    metrics = _run(out_c, waves=2, resume=True)  # resumes at wave 1
+    assert metrics[0]["wave"] == 1
+    assert {r["url"] for r in _fetched(out_c, 0)} == wave0_before
+    resumed = {r["url"] for r in _fetched(out_c, 1)}
+    original = {r["url"] for r in _fetched(out_a, 1)}
+    assert resumed == original
+    assert not wave0_before.intersection(resumed)

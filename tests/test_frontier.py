@@ -1,0 +1,79 @@
+"""Frontier unit tests: canonicalization, xxhash64, cuckoo filter."""
+
+import numpy as np
+
+from nipper_ray.frontier import CuckooFilter, canonicalize_url, xxh64
+
+
+def test_xxh64_vectors():
+    # published xxHash64 test vectors (seed 0)
+    assert xxh64(b"") == 0xEF46DB3751D8E999
+    assert xxh64(b"a") == 0xD24EC4F1A98C6E5B
+    assert xxh64(b"abc") == 0x44BC2CF5AD770999
+
+
+def test_xxh64_long_and_seed():
+    data = b"x" * 100
+    assert xxh64(data) == xxh64(data)
+    assert xxh64(data, seed=1) != xxh64(data)
+
+
+CANON_CASES = [
+    ("HTTP://Example.COM:80/a/b#frag", "http://example.com/a/b"),
+    ("https://example.com:443/", "https://example.com/"),
+    ("https://example.com:8443/", "https://example.com:8443/"),
+    ("https://example.com", "https://example.com/"),
+    ("https://example.com/p?q=1#x", "https://example.com/p?q=1"),
+    ("https://example.com/%7euser", "https://example.com/~user"),
+    ("https://example.com/a%2fb", "https://example.com/a%2Fb"),
+    ("mailto:x@y.com", None),
+    ("javascript:void(0)", None),
+    ("ftp://example.com/f", None),
+    ("/rel/path", None),
+    ("", None),
+]
+
+
+def test_canonicalize_cases():
+    for raw, exp in CANON_CASES:
+        assert canonicalize_url(raw) == exp, raw
+
+
+def test_canonicalize_relative():
+    base = "https://example.com/a/b/c"
+    assert canonicalize_url("../up", base=base) == "https://example.com/a/up"
+    assert canonicalize_url("d?x=1", base=base) \
+        == "https://example.com/a/b/d?x=1"
+    assert canonicalize_url("#frag", base=base) == "https://example.com/a/b/c"
+    assert canonicalize_url("//other.com/p", base=base) \
+        == "https://other.com/p"
+
+
+def test_cuckoo_probe_insert_idempotent():
+    cf = CuckooFilter(10000)
+    hs = [xxh64(b"u%d" % i) for i in range(5000)]
+    mask = cf.check_and_add_many(hs)
+    assert mask.sum() >= 4990  # tiny false-positive rate allowed
+    assert not cf.check_and_add_many(hs).any()  # idempotent replay
+    assert all(cf.contains_hash(h) for h in hs)  # no false negatives
+
+
+def test_cuckoo_snapshot_byte_exact():
+    cf = CuckooFilter(4096)
+    hs = [xxh64(b"s%d" % i) for i in range(3000)]
+    cf.check_and_add_many(hs)
+    blob = cf.snapshot()
+    cf2 = CuckooFilter.restore(blob)
+    assert cf2.snapshot() == blob
+    assert not cf2.check_and_add_many(hs).any()
+    assert len(cf2) == len(cf)
+
+
+def test_cuckoo_overflow_correctness():
+    cf = CuckooFilter(64)  # force heavy load -> overflow path
+    hs = [xxh64(b"o%d" % i) for i in range(1000)]
+    cf.check_and_add_many(hs)
+    assert all(cf.contains_hash(h) for h in hs)
+    blob = cf.snapshot()
+    cf2 = CuckooFilter.restore(blob)
+    assert all(cf2.contains_hash(h) for h in hs)
