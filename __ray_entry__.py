@@ -174,7 +174,8 @@ def q_distinct_types(sf_dir: str):
     ds = ds.map_batches(
         lambda t: t.filter(pc.greater(t.column("value"), pa.scalar(10.0))),
         batch_format="pyarrow")
-    return ds.unique("event_type")
+    vals = sorted(ds.unique("event_type"))
+    return pa.table({"event_type": pa.array(vals, pa.string())})
 
 
 # ---------------------------------------------------------------------------
@@ -268,37 +269,23 @@ def q_exact_dedup(sf_dir: str):
     return agg.select_columns(["doc_id", "n_copies"])
 
 
-def _planted_corpus(sf_dir: str):
-    """documents ∪ deterministic 95%-prefix mutated copies
-    (doc_id + 1_000_000) — the planted near-duplicate pairs."""
-    rd = _rd()
-    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                         columns=["doc_id", "text"])
-
-    def mutate(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_pylist()
-        texts = t.column("text").to_pylist()
-        return pa.table({
-            "doc_id": pa.array([i + 1_000_000 for i in ids], pa.int64()),
-            "text": pa.array([(s or "")[:int(len(s or "") * 0.95)]
-                              for s in texts], pa.string()),
-        })
-
-    return ds.union(ds.map_batches(mutate, batch_format="pyarrow"))
-
-
 def q_minhash_neardup(sf_dir: str):
     """MinHash -> LSH banding -> bucket groupby -> candidate pairs ->
-    true n-gram Jaccard verification. On the planted corpus the verified
-    pairs are exactly {(d, d+1_000_000)} — which IS SQL-expressible, so
-    this approximate pipeline gets a hard oracle."""
+    true word-3-gram Jaccard verification (threshold 0.6).
+
+    The driver's synthetic documents table contains genuine near-dup
+    pairs (all with true Jaccard >= 0.88, nothing between 0.3 and 0.85),
+    so with 16 bands x 4 rows the LSH recall at the threshold is ~1-1e-7
+    and the result equals the exact SQL jaccard join in the oracle."""
     import pandas as pd
 
     from nipper_ray.ops.dedup import (candidate_pairs_from_band,
                                       lsh_bands_stage, minhash_stage,
                                       ngram_jaccard)
 
-    corpus = _planted_corpus(sf_dir)
+    rd = _rd()
+    corpus = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"])
     sigs = corpus.map_batches(minhash_stage, batch_format="pyarrow",
                               batch_size=256)
     bands = sigs.map_batches(lsh_bands_stage, batch_format="pyarrow")
@@ -307,8 +294,7 @@ def q_minhash_neardup(sf_dir: str):
     pairs = cand.to_pandas().drop_duplicates(["a", "b"])
     # verify with true jaccard (broadcast text lookup; small corpus here,
     # hash-join text back by id at scale)
-    texts = {r["doc_id"]: r["text"]
-             for r in corpus.take_all()}
+    texts = {r["doc_id"]: r["text"] for r in corpus.take_all()}
     keep_a, keep_b = [], []
     for a, b in zip(pairs["a"], pairs["b"]):
         if ngram_jaccard(texts[a], texts[b], 3) >= 0.6:
@@ -337,9 +323,8 @@ def q_embedding_neardup(sf_dir: str):
                          columns=["vec_id", "embedding"])
     # all-pairs within one table: materialize to a single Arrow table
     # (embeddings are the small side; at scale this runs per LSH bucket)
-    t = pa.concat_tables([pa.Table.from_pydict(b)
-                          for b in ds.iter_batches(
-                              batch_size=65536, batch_format="pydict")])
+    t = pa.concat_tables(list(ds.iter_batches(batch_size=65536,
+                                              batch_format="pyarrow")))
     out = embedding_neardup_pairs(t, threshold=0.3)
     return out.select(["a", "b"])
 
@@ -499,8 +484,28 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY md5(text)
         """,
         "minhash_neardup": """
-            SELECT doc_id AS a, doc_id + 1000000 AS b
-            FROM documents ORDER BY a
+            WITH w AS (SELECT doc_id,
+                              regexp_extract_all(lower(text),
+                                                 '[a-z0-9_]+') AS w
+                       FROM documents),
+                 sh AS (SELECT doc_id, list_distinct(list_transform(
+                            generate_series(1, len(w) - 2),
+                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                            AS s
+                        FROM w WHERE len(w) >= 3),
+                 e AS (SELECT doc_id, unnest(s) AS g FROM sh),
+                 sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+                 inter AS (SELECT e1.doc_id AS a, e2.doc_id AS b,
+                                  count(*) AS i
+                           FROM e e1 JOIN e e2
+                             ON e1.g = e2.g AND e1.doc_id < e2.doc_id
+                           GROUP BY 1, 2)
+            SELECT a, b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.6
+            ORDER BY a, b
         """,
         "embedding_neardup": """
             SELECT e1.vec_id AS a, e2.vec_id AS b
