@@ -381,6 +381,18 @@ def q_extract(sf_dir: str):
     return out.select_columns(["url", "title", "n_links"])
 
 
+def q_readability(sf_dir: str):
+    """Readability-style main-content extraction (reference example
+    examples/readability.rs re-expressed; rows-only check, pinned by
+    pytest on the fixture pages)."""
+    from nipper_ray.sources import read_pages
+    from nipper_ray.stages import ReadabilityStage
+
+    ds = read_pages(sf_dir, columns=["url", "html"])
+    return ds.map_batches(ReadabilityStage, batch_format="pyarrow",
+                          batch_size=32, concurrency=2)
+
+
 def q_media_features(sf_dir: str):
     from nipper_ray.ops.multimodal import (MediaFeatureStage,
                                            media_table_from_documents)
@@ -414,6 +426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "extract": q_extract,
+        "readability": q_readability,
         "media_features": q_media_features,
     }
 

@@ -1,0 +1,213 @@
+"""Headline benchmark. Prints ONE JSON line:
+
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+   "rates": {...derived throughputs...}}
+
+Pipelines over $GRAFT_SF_DIR (default /root/testdata/sf0.1):
+  extract        read pages corpus -> ExtractStage -> consume
+                 (pages/sec: the nipper-semantics parse+select kernel)
+  frontier_dedup 500k+ outlink URLs -> canonicalize+xxh64 ->
+                 sharded-cuckoo probe+insert (URLs/sec)
+  crawl          2 full frontier waves (robots+dedup+politeness+fetch+
+                 extract+checkpoint)
+
+`bench.py --scaling` runs the extract pipeline in two fresh processes
+(num_cpus=8 and num_cpus=32) on the same corpus and reports throughput
+at both plus scaling efficiency = (t8/t32)/(32/8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPEAT = int(os.environ.get("GRAFT_PAGES_REPEAT", "10"))
+
+
+def _quiet():
+    import logging
+
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+    logging.getLogger("ray").setLevel(logging.ERROR)
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+
+def bench_extract(pages_path: str) -> tuple:
+    import ray.data as rd
+
+    from nipper_ray.stages import extract_pages
+
+    def run():
+        ds = rd.read_parquet(pages_path, columns=["url", "html"])
+        out = extract_pages(ds, batch_size=256)
+        n = 0
+        for b in out.iter_batches(batch_size=4096, batch_format="pyarrow"):
+            n += len(b)
+        return n
+
+    # warm-up: spin up worker processes + OS page cache (untimed)
+    import ray.data as rd2
+    warm = rd2.read_parquet(pages_path, columns=["url", "html"]).limit(256)
+    extract_pages(warm, batch_size=64).count()
+
+    t0 = time.perf_counter()
+    n = run()
+    dt = time.perf_counter() - t0
+    return dt, n
+
+
+def bench_frontier_dedup(n_urls: int) -> tuple:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from nipper_ray.frontier.scheduler import CanonStage
+    from nipper_ray.frontier.seen import DedupStage, SeenSet
+    from nipper_ray.sources.synth import outlink_ids, page_url
+
+    # deterministic raw frontier with duplicates (outlink graph)
+    path = "/tmp/nipper_ray_bench/frontier_%d.parquet" % n_urls
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        n_pages = n_urls // 10
+        urls, srcs = [], []
+        for d in range(n_pages):
+            src = page_url(d)
+            for t in outlink_ids(d, n_pages):
+                urls.append(page_url(t))
+                srcs.append(src)
+        t = pa.table({
+            "url": pa.array(urls, pa.string()),
+            "src_url": pa.array(srcs, pa.string()),
+            "depth": pa.array([1] * len(urls), pa.int32()),
+            "wave": pa.array([1] * len(urls), pa.int32()),
+        })
+        pq.write_table(t, path + ".tmp", row_group_size=16384)
+        os.replace(path + ".tmp", path)
+
+    seen = SeenSet(num_shards=8, capacity_per_shard=1 << 21)
+    try:
+        t0 = time.perf_counter()
+        ds = rd.read_parquet(path)
+        ds = ds.map_batches(CanonStage(), batch_format="pyarrow",
+                            batch_size=8192)
+        ds = ds.map_batches(
+            DedupStage, batch_format="pyarrow", batch_size=8192,
+            fn_constructor_kwargs={"shard_handles": seen.shards},
+            concurrency=4)
+        kept = ds.count()
+        dt = time.perf_counter() - t0
+        return dt, kept
+    finally:
+        seen.shutdown()
+
+
+def bench_crawl() -> tuple:
+    import shutil
+
+    from nipper_ray.frontier.scheduler import run_crawl
+    from nipper_ray.sources.synth import page_url
+
+    out = "/tmp/nipper_ray_bench/crawl"
+    shutil.rmtree(out, ignore_errors=True)
+    seeds = [page_url(i) for i in range(0, 200, 2)]
+    t0 = time.perf_counter()
+    metrics = run_crawl(
+        SF_DIR, out, seeds, waves=2, num_shards=8,
+        per_host_budget=400, wave_budget=3000,
+        extract_concurrency=max(2, NUM_CPUS // 2),
+        pool_size=max(2, NUM_CPUS // 8), actor_cpus=1.0,
+        fixtures_dir=os.path.join(REPO, "tests", "fixtures"))
+    dt = time.perf_counter() - t0
+    pages = sum(m["pages_fetched"] for m in metrics)
+    return dt, pages
+
+
+def main():
+    import ray
+
+    from nipper_ray.sources.synth import synth_pages_parquet
+
+    # corpus prep is cached + untimed
+    pages_path = synth_pages_parquet(SF_DIR, repeat=REPEAT)
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    _quiet()
+
+    queries = {}
+    rates = {}
+
+    dt, n_pages = bench_extract(pages_path)
+    queries["extract"] = round(dt, 3)
+    rates["extract_pages_per_sec"] = round(n_pages / dt, 1)
+
+    n_urls = 200_000
+    dt, kept = bench_frontier_dedup(n_urls)
+    queries["frontier_dedup"] = round(dt, 3)
+    rates["dedup_urls_per_sec"] = round(n_urls / dt, 1)
+    rates["dedup_unique_kept"] = kept
+
+    dt, crawled = bench_crawl()
+    queries["crawl_2waves"] = round(dt, 3)
+    rates["crawl_pages_per_sec"] = round(crawled / dt, 1)
+
+    ray.shutdown()
+
+    out = {
+        "metric": "pages/sec extraction + frontier-dedup URLs/sec "
+                  "(synthetic CC-style corpus, %d pages)" % n_pages,
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "rates": rates,
+    }
+    print(json.dumps(out))
+
+
+def scaling():
+    import subprocess
+
+    def run(ncpu):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")], env=env,
+            capture_output=True, text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    t_lo = r_lo["queries"]["extract"]
+    t_hi = r_hi["queries"]["extract"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(json.dumps({
+        "pipeline": "extract",
+        "sec_%d" % lo: t_lo,
+        "sec_%d" % hi: t_hi,
+        "pages_per_sec_%d" % lo: r_lo["rates"]["extract_pages_per_sec"],
+        "pages_per_sec_%d" % hi: r_hi["rates"]["extract_pages_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": SF_DIR,
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

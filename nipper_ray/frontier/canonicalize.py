@@ -19,6 +19,13 @@ _PCT_RE = re.compile(r"%([0-9a-fA-F]{2})")
 _UNRESERVED = frozenset(
     "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~")
 
+# already-canonical fast path: lowercase scheme+host, no port/userinfo,
+# a path, no fragment, no percent-escapes anywhere. For such URLs
+# canonicalize(u) == u, so the (hot) urlsplit/urlunsplit round-trip can
+# be skipped — most frontier URLs hit this after their first pass.
+_FAST_RE = re.compile(r"^https?://[a-z0-9](?:[a-z0-9.\-]*[a-z0-9])?"
+                      r"/[^#%?\s]*(?:\?[^#%\s]*)?$")
+
 
 def _norm_pct(s: str) -> str:
     def repl(m):
@@ -33,6 +40,8 @@ def canonicalize_url(url: str, base: str | None = None):
     if not url:
         return None
     url = url.strip()
+    if _FAST_RE.match(url):
+        return url
     if base:
         try:
             url = urljoin(base, url)

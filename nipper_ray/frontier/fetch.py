@@ -40,7 +40,11 @@ class SynthFetchStage:
     """map_batches actor stage: url -> (html, warc_ts, fetch_ok)."""
 
     def __init__(self, doc_texts_ref, n_docs: int, fixtures_dir=None):
-        self.texts = ray.get(doc_texts_ref)  # once per actor
+        # lazy: as an actor this resolves once per actor; as a pickled
+        # task instance it resolves once per worker process (the
+        # deserialized callable is cached in the worker function table)
+        self.ref = doc_texts_ref
+        self.texts = None
         self.n_docs = n_docs
         self.fixtures = {}
         if fixtures_dir:
@@ -52,6 +56,8 @@ class SynthFetchStage:
                         self.fixtures[name] = f.read()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.texts is None:
+            self.texts = ray.get(self.ref)
         urls = batch.column("url").to_pylist()
         htmls, tss, oks = [], [], []
         for u in urls:

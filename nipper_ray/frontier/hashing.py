@@ -37,6 +37,32 @@ def _merge_round(acc, val):
 
 def xxh64(data: bytes, seed: int = 0) -> int:
     n = len(data)
+    if n < 32:
+        # inlined short-input path (URLs are mostly < 32 bytes; avoiding
+        # the _round/_rotl helper calls is a ~3x win on the hot path)
+        h = (seed + _P5 + n) & _M
+        i = 0
+        while i + 8 <= n:
+            k = _U64.unpack_from(data, i)[0]
+            k = (k * _P2) & _M
+            k = ((k << 31) | (k >> 33)) & _M
+            h ^= (k * _P1) & _M
+            h = (((h << 27) | (h >> 37)) & _M) * _P1 + _P4 & _M
+            i += 8
+        if i + 4 <= n:
+            h ^= (_U32.unpack_from(data, i)[0] * _P1) & _M
+            h = (((h << 23) | (h >> 41)) & _M) * _P2 + _P3 & _M
+            i += 4
+        while i < n:
+            h ^= (data[i] * _P5) & _M
+            h = (((h << 11) | (h >> 53)) & _M) * _P1 & _M
+            i += 1
+        h ^= h >> 33
+        h = (h * _P2) & _M
+        h ^= h >> 29
+        h = (h * _P3) & _M
+        h ^= h >> 32
+        return h
     if n >= 32:
         v1 = (seed + _P1 + _P2) & _M
         v2 = (seed + _P2) & _M

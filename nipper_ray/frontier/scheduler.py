@@ -76,8 +76,21 @@ def frontier_rows(urls, depth: int, src_urls=None, wave: int = 0):
     return pa.table(rows, schema=FRONTIER_SCHEMA)
 
 
+def _host_of_canonical(url: str) -> str:
+    """Host of an already-canonical URL (lowercased netloc, no userinfo):
+    plain string slicing instead of a urlsplit round-trip."""
+    start = url.index("//") + 2
+    end = url.find("/", start)
+    netloc = url[start:] if end < 0 else url[start:end]
+    colon = netloc.find(":")
+    return netloc if colon < 0 else netloc[:colon]
+
+
 class CanonStage:
-    """Canonicalize raw outlink rows into frontier rows."""
+    """Canonicalize raw outlink rows into frontier rows.
+
+    Per-batch memo: outlink batches are duplicate-heavy (the dedup stage
+    exists for a reason), so canonicalize+hash once per distinct URL."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
@@ -86,13 +99,23 @@ class CanonStage:
         waves = batch.column("wave").to_pylist()
         rows = {"url": [], "host": [], "url_hash": [], "depth": [],
                 "priority": [], "discovered_ts": [], "src_url": []}
+        memo = {}
         for u, s, d, w in zip(urls, srcs, depths, waves):
-            cu = canonicalize_url(u, base=s or None)
+            key = (u, s)
+            hit = memo.get(key)
+            if hit is None:
+                cu = canonicalize_url(u, base=s or None)
+                if cu is None:
+                    hit = (None, None, None)
+                else:
+                    hit = (cu, _host_of_canonical(cu), xxh64_str(cu))
+                memo[key] = hit
+            cu, host, uh = hit
             if cu is None:
                 continue
             rows["url"].append(cu)
-            rows["host"].append(host_of(cu))
-            rows["url_hash"].append(xxh64_str(cu))
+            rows["host"].append(host)
+            rows["url_hash"].append(uh)
             rows["depth"].append(d)
             rows["priority"].append(_priority_for(d))
             rows["discovered_ts"].append(_WAVE_TS0 + w * 1000)
@@ -117,7 +140,8 @@ class CrawlJob:
                  per_host_budget: int = 50, wave_budget: int = 400,
                  shard_capacity: int = 1 << 20, limit=None,
                  extract_concurrency=4, fixtures_dir=None,
-                 pool_size: int = 2, actor_cpus: float = 1.0):
+                 pool_size: int = 2, actor_cpus: float = 1.0,
+                 use_actors: bool = False):
         self.sf_dir = sf_dir
         self.out_dir = out_dir
         self.num_shards = num_shards
@@ -128,6 +152,7 @@ class CrawlJob:
         self.fixtures_dir = fixtures_dir
         self.pool_size = pool_size
         self.actor_cpus = actor_cpus
+        self.use_actors = use_actors
         self.seen = SeenSet(num_shards, shard_capacity)
         self.texts_ref, self.n_docs = put_doc_texts(sf_dir, limit=limit)
 
@@ -174,28 +199,45 @@ class CrawlJob:
         # columns= prunes the read AND drops the hive partition column
         # ray.data infers from the wave=k directory name
         ds = rd.read_parquet(frontier_in, columns=list(FRONTIER_SCHEMA.names))
-        ds = ds.map_batches(RobotsFilterStage, batch_format="pyarrow",
-                            concurrency=self.pool_size,
-                            num_cpus=self.actor_cpus)
-        ds = ds.map_batches(
-            DedupStage, batch_format="pyarrow",
-            fn_constructor_kwargs={"shard_handles": self.seen.shards},
-            concurrency=self.pool_size, num_cpus=self.actor_cpus)
-        wave = select_wave(ds, self.per_host_budget, self.wave_budget)
-        wave = wave.map_batches(
-            SynthFetchStage, batch_format="pyarrow", batch_size=64,
-            fn_constructor_kwargs={
-                "doc_texts_ref": self.texts_ref, "n_docs": self.n_docs,
-                "fixtures_dir": self.fixtures_dir},
-            concurrency=self.pool_size, num_cpus=self.actor_cpus)
-        wave = wave.map_batches(
-            ExtractStage, batch_format="pyarrow", batch_size=32,
-            fn_constructor_kwargs={
-                "rules": CRAWL_RULES,
-                "keep_cols": ("url", "host", "depth", "priority",
-                              "warc_ts")},
-            concurrency=self.extract_concurrency,
-            num_cpus=self.actor_cpus)
+        keep = ("url", "host", "depth", "priority", "warc_ts")
+        if self.use_actors:
+            # actor-pool shape: the right fit for long-running cluster
+            # crawls where pool ramp-up amortizes
+            ds = ds.map_batches(RobotsFilterStage, batch_format="pyarrow",
+                                concurrency=self.pool_size,
+                                num_cpus=self.actor_cpus)
+            ds = ds.map_batches(
+                DedupStage, batch_format="pyarrow",
+                fn_constructor_kwargs={"shard_handles": self.seen.shards},
+                concurrency=self.pool_size, num_cpus=self.actor_cpus)
+            wave = select_wave(ds, self.per_host_budget, self.wave_budget)
+            wave = wave.map_batches(
+                SynthFetchStage, batch_format="pyarrow", batch_size=64,
+                fn_constructor_kwargs={
+                    "doc_texts_ref": self.texts_ref, "n_docs": self.n_docs,
+                    "fixtures_dir": self.fixtures_dir},
+                concurrency=self.pool_size, num_cpus=self.actor_cpus)
+            wave = wave.map_batches(
+                ExtractStage, batch_format="pyarrow", batch_size=32,
+                fn_constructor_kwargs={"rules": CRAWL_RULES,
+                                       "keep_cols": keep},
+                concurrency=self.extract_concurrency,
+                num_cpus=self.actor_cpus)
+        else:
+            # stateless-task shape: driver-constructed picklable stage
+            # instances, cached per worker process; no pool ramp-up
+            ds = ds.map_batches(RobotsFilterStage(),
+                                batch_format="pyarrow")
+            ds = ds.map_batches(DedupStage(self.seen.shards),
+                                batch_format="pyarrow")
+            wave = select_wave(ds, self.per_host_budget, self.wave_budget)
+            wave = wave.map_batches(
+                SynthFetchStage(self.texts_ref, self.n_docs,
+                                self.fixtures_dir),
+                batch_format="pyarrow", batch_size=256)
+            wave = wave.map_batches(
+                ExtractStage(rules=CRAWL_RULES, keep_cols=keep),
+                batch_format="pyarrow", batch_size=128)
         n_pages = _write_ds(wave, self._pages_dir(k))
 
         # outlinks -> next wave's frontier partitions

@@ -68,12 +68,10 @@ class ExtractStage:
         self.errors = errors
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        html_col = batch.column(self.html_col)
-        n = len(html_col)
+        html_list = batch.column(self.html_col).to_pylist()
         outs = {r.name: [] for r in self.rules}
         ok = []
-        for i in range(n):
-            raw = html_col[i].as_py()
+        for raw in html_list:
             if isinstance(raw, bytes):
                 raw = raw.decode("utf-8", errors="replace")
             try:
@@ -120,18 +118,31 @@ class ExtractStage:
 
 
 def extract_pages(ds, rules=DEFAULT_RULES, keep_cols=("url",),
-                  batch_size: int = 64, concurrency=None, num_cpus: float = 1):
+                  batch_size: int = 64, concurrency=None,
+                  num_cpus: float = 1, use_actors: bool = False):
     """Attach the extraction stage to a pages Dataset.
 
-    batch_size defaults small because html rows are large (100KB+ pages:
-    tests/fixtures/rustwiki.html is 218KB); the parse cost per row dwarfs
-    the per-batch overhead anyway."""
-    kwargs = dict(
-        fn_constructor_kwargs={"rules": rules, "keep_cols": keep_cols},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        num_cpus=num_cpus,
-    )
-    if concurrency is not None:
-        kwargs["concurrency"] = concurrency
-    return ds.map_batches(ExtractStage, **kwargs)
+    Default is stateless tasks with a *driver-compiled* stage instance:
+    selectors are compiled once, the compiled object is shipped in the
+    task spec and cached per worker process — same amortization as an
+    actor pool with none of the pool ramp-up (which dominates short
+    single-node runs). ``use_actors=True`` switches to an actor pool,
+    the right shape when the stage holds heavyweight state (models) or
+    on long-running cluster jobs.
+
+    batch_size stays moderate because html rows can be large (100KB+
+    pages: tests/fixtures/rustwiki.html is 218KB); the parse cost per
+    row dwarfs per-batch overhead."""
+    if use_actors:
+        kwargs = dict(
+            fn_constructor_kwargs={"rules": rules, "keep_cols": keep_cols},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            num_cpus=num_cpus,
+        )
+        if concurrency is not None:
+            kwargs["concurrency"] = concurrency
+        return ds.map_batches(ExtractStage, **kwargs)
+    stage = ExtractStage(rules=rules, keep_cols=keep_cols)
+    return ds.map_batches(stage, batch_format="pyarrow",
+                          batch_size=batch_size, num_cpus=num_cpus)
