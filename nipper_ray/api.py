@@ -161,6 +161,16 @@ class Selection:
         v = self.attr(name)
         return v if v is not None else default
 
+    def attrs(self):
+        """All attributes of the first node as (name, value) pairs
+        (reference Node::attrs, dom_tree.rs:854-862)."""
+        if not self.nids:
+            return []
+        node = self.tree.nodes[self.nids[0]]
+        if node.kind != ELEMENT:
+            return []
+        return [(a[1], a[2]) for a in node.attrs]
+
     def set_attr(self, name: str, val: str) -> None:
         for n in self.nids:
             self.tree.set_attr(n, name, val)

@@ -30,13 +30,30 @@ class CompiledSelector:
     """A parsed, reusable selector list (reference Matcher,
     matcher.rs:13-24)."""
 
-    __slots__ = ("source", "selectors")
+    __slots__ = ("source", "selectors", "fast_names")
 
     def __init__(self, source: str):
         self.source = source
         self.selectors = parse_selector_list(source)
+        # fast reject: if every complex selector's rightmost compound
+        # has a type selector, a node whose tag is not among them can
+        # never match — one set lookup instead of the full matcher
+        names = set()
+        for complex_sel in self.selectors:
+            compound = complex_sel[-1][1]
+            t = next((s for s in compound if s[0] == "type"), None)
+            if t is None:
+                names = None
+                break
+            names.add(t[1])
+            names.add(t[2])
+        self.fast_names = names
 
     def match_node(self, tree, nid: int) -> bool:
+        if self.fast_names is not None:
+            node = tree.nodes[nid]
+            if node.kind != ELEMENT or node.name not in self.fast_names:
+                return False
         for complex_sel in self.selectors:
             if _match_complex(tree, nid, complex_sel):
                 return True

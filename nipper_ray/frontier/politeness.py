@@ -94,17 +94,25 @@ def top_b_per_group(budget: int):
 
 
 def select_wave(frontier_ds, per_host_budget: int, wave_budget: int,
-                num_salts: int = SALT_N):
+                num_salts: int = SALT_N, salted: bool = True):
     """Politeness + priority selection over a deduped frontier Dataset.
 
-    Two groupby shuffles (salted then per-host) + one global sort/limit;
-    all ordering keys are deterministic (no wall clock)."""
-    ds = frontier_ds.map_batches(
-        lambda t: add_salt(t, num_salts), batch_format="pyarrow")
-    ds = ds.groupby(["host", "salt"]).map_groups(
-        top_b_per_group(per_host_budget), batch_format="pandas")
+    Groupby shuffle(s) + one global sort/limit; all ordering keys are
+    deterministic (no wall clock). With ``salted`` (the default, for
+    hot-host skew) the per-host top-B is computed in two phases —
+    per (host, salt) then per host — which is exactly equal to the
+    single-phase top-B (top-B of a union of per-salt top-Bs) but fans a
+    hot host's work over ``num_salts`` tasks. ``salted=False`` skips the
+    extra shuffle for small frontiers; results are identical."""
+    if salted:
+        ds = frontier_ds.map_batches(
+            lambda t: add_salt(t, num_salts), batch_format="pyarrow")
+        ds = ds.groupby(["host", "salt"]).map_groups(
+            top_b_per_group(per_host_budget), batch_format="pandas")
+        ds = ds.drop_columns(["salt"])
+    else:
+        ds = frontier_ds
     ds = ds.groupby("host").map_groups(
         top_b_per_group(per_host_budget), batch_format="pandas")
-    ds = ds.drop_columns(["salt"])
     ds = ds.sort(["priority", "url"], descending=[True, False])
     return ds.limit(wave_budget)

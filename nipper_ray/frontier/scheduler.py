@@ -230,7 +230,8 @@ class CrawlJob:
                                 batch_format="pyarrow")
             ds = ds.map_batches(DedupStage(self.seen.shards),
                                 batch_format="pyarrow")
-            wave = select_wave(ds, self.per_host_budget, self.wave_budget)
+            wave = select_wave(ds, self.per_host_budget, self.wave_budget,
+                               salted=n_in >= 50_000)
             wave = wave.map_batches(
                 SynthFetchStage(self.texts_ref, self.n_docs,
                                 self.fixtures_dir),

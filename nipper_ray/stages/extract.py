@@ -144,5 +144,8 @@ def extract_pages(ds, rules=DEFAULT_RULES, keep_cols=("url",),
             kwargs["concurrency"] = concurrency
         return ds.map_batches(ExtractStage, **kwargs)
     stage = ExtractStage(rules=rules, keep_cols=keep_cols)
-    return ds.map_batches(stage, batch_format="pyarrow",
-                          batch_size=batch_size, num_cpus=num_cpus)
+    kwargs = dict(batch_format="pyarrow", batch_size=batch_size,
+                  num_cpus=num_cpus)
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency  # caps concurrent tasks
+    return ds.map_batches(stage, **kwargs)

@@ -1,0 +1,135 @@
+"""Additional API-parity pins for reference behaviors not covered by the
+ported test files (SURVEY.md §2 operator inventory completeness)."""
+
+from nipper_ray.api import Document, Matcher
+
+from conftest import load_fixture
+
+
+def _doc():
+    return Document(load_fixture("page.html"))
+
+
+def test_first_last_get():
+    d = _doc()
+    sel = d.select("div.row-fluid")
+    assert sel.first().length() == 1
+    assert sel.last().length() == 1
+    assert sel.first().nids[0] == sel.nids[0]
+    assert sel.last().nids[0] == sel.nids[-1]
+    assert sel.get(0) == sel.nids[0]
+    assert sel.get(999) is None
+    empty = d.select("zz")
+    assert empty.first().length() == 0
+    assert empty.last().length() == 0
+
+
+def test_iter_yields_single_selections():
+    d = _doc()
+    sel = d.select("div.row-fluid")
+    singles = list(sel.iter())
+    assert len(singles) == sel.length()
+    assert all(s.length() == 1 for s in singles)
+    # DoubleEndedIterator parity: reversed iteration
+    rev = list(reversed([s.nids[0] for s in singles]))
+    assert rev == list(reversed(sel.nids))
+
+
+def test_try_select_childrenonly_asymmetry():
+    # Document::select uses IncludeNode (the root Document node itself is
+    # tested -> :root matches it); try_select uses ChildrenOnly
+    # (traversal.rs:35-49), so the root never matches.
+    d = _doc()
+    assert d.select(":root").length() == 1
+    assert d.try_select(":root") is None
+
+
+def test_node_name():
+    d = _doc()
+    assert d.select("h1").node_name() == "h1"
+    assert d.select("zz").node_name() is None
+
+
+def test_exists_size_alias():
+    d = _doc()
+    sel = d.select("div.row-fluid")
+    assert sel.exists()
+    assert sel.size() == sel.length() == 9
+    assert not d.select("zz").exists()
+
+
+def test_append_html():
+    d = Document("<div id='box'><span>a</span></div>")
+    sel = d.select("#box")
+    sel.append_html("<p class='new'>b</p><p class='new'>c</p>")
+    assert d.select("#box p.new").length() == 2
+    assert d.select("#box").text() == "abc"
+
+
+def test_append_selection():
+    d = Document("<div id='a'><i>x</i></div><div id='b'></div>")
+    src = d.select("#a i")
+    dst = d.select("#b")
+    dst.append_selection(src)
+    assert d.select("#b i").length() == 1
+    assert d.select("#a i").length() == 0  # moved, not copied
+
+
+def test_remove():
+    d = _doc()
+    n_before = d.select("div").length()
+    d.select("div.row-fluid").remove()
+    assert d.select("div.row-fluid").length() == 0
+    assert d.select("div").length() < n_before
+
+
+def test_document_html_roundtrip():
+    d = Document("<!DOCTYPE html><html><head><title>t</title></head>"
+                 "<body><p>x</p></body></html>")
+    h = d.html()
+    assert h.startswith("<!DOCTYPE html>")
+    assert "<p>x</p>" in h
+    # reparse of serialization is stable (fixpoint)
+    assert Document(h).html() == h
+
+
+def test_matcher_select_matcher_on_selection():
+    d = _doc()
+    m = Matcher.new(".row-fluid")
+    outer = d.select("div.hero-unit")
+    assert outer.select_matcher(m).length() == 4
+
+
+def test_is_matcher():
+    d = _doc()
+    m = Matcher.new("p")
+    assert d.select(".footer p:nth-child(1)").is_matcher(m)
+
+
+def test_attr_ops_selection_wide():
+    d = Document('<a id="x" href="/1">1</a><a id="y" href="/2">2</a>')
+    sel = d.select("a")
+    sel.set_attr("rel", "nofollow")
+    assert d.select('a[rel="nofollow"]').length() == 2
+    sel.remove_attr("href")
+    assert d.select("a[href]").length() == 0
+
+
+def test_selector_grammar_extras():
+    d = Document(
+        "<ul><li id='a'>1</li><li class='x'>2</li><li>3</li></ul>"
+        "<input type='checkbox' Disabled><p data-x='AbC'>t</p>")
+    assert d.select("li:first-child").attr("id") == "a"
+    assert d.select("li:last-child").text() == "3"
+    assert d.select("li:nth-child(2n)").length() == 1
+    assert d.select("li:nth-last-child(1)").text() == "3"
+    assert d.select("li:not(.x)").length() == 2
+    assert d.select("li:only-child").length() == 0
+    assert d.select("[data-x='abc' i]").length() == 1
+    assert d.select("[data-x^='Ab']").length() == 1
+    assert d.select("[data-x$='bC']").length() == 1
+    assert d.select("[data-x*='b']").length() == 1
+    assert d.select("ul > li + li ~ li").text() == "3"
+    assert d.select("li:first-of-type").text() == "1"
+    assert d.select("p:last-of-type").length() == 1
+    assert d.select("li:nth-of-type(3)").text() == "3"
