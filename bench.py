@@ -50,12 +50,21 @@ def bench_extract(pages_path: str) -> tuple:
     from nipper_ray.stages import extract_pages
 
     def run():
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        out_dir = "/tmp/nipper_ray_bench/extract_out"
+        shutil.rmtree(out_dir, ignore_errors=True)
+        os.makedirs(out_dir, exist_ok=True)
         ds = rd.read_parquet(pages_path, columns=["url", "html"])
         out = extract_pages(ds, batch_size=256)
-        n = 0
-        for b in out.iter_batches(batch_size=4096, batch_format="pyarrow"):
-            n += len(b)
-        return n
+        # parallel sink — driver-side iter_batches would serialize the
+        # whole output through one thread and cap scaling
+        out.write_parquet(out_dir)
+        return sum(
+            pq.ParquetFile(os.path.join(out_dir, f)).metadata.num_rows
+            for f in os.listdir(out_dir) if f.endswith(".parquet"))
 
     # warm-up: spin up worker processes + OS page cache (untimed)
     import ray.data as rd2

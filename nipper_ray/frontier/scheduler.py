@@ -28,6 +28,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..stages.extract import ExtractStage, Rule
+from ..state import checkpoint as ckpt
 from .canonicalize import canonicalize_url, host_of
 from .fetch import SynthFetchStage, put_doc_texts
 from .hashing import xxh64_str
@@ -164,14 +165,10 @@ class CrawlJob:
         return os.path.join(self.out_dir, "frontier", "wave=%d" % k)
 
     def _ckpt_dir(self, k):
-        return os.path.join(self.out_dir, "ckpt", "wave=%d" % k)
+        return ckpt.ckpt_dir(self.out_dir, k)
 
     def last_complete_wave(self):
-        k = -1
-        while os.path.exists(os.path.join(self._ckpt_dir(k + 1),
-                                          "_SUCCESS")):
-            k += 1
-        return k
+        return ckpt.last_complete_wave(self.out_dir)
 
     # -- lifecycle -------------------------------------------------------
     def seed(self, seed_urls):
@@ -185,10 +182,8 @@ class CrawlJob:
         Returns the next wave index to run."""
         k = self.last_complete_wave()
         if k >= 0:
-            ck = self._ckpt_dir(k)
-            paths = [os.path.join(ck, "seen_shard_%d.bin" % i)
-                     for i in range(self.num_shards)]
-            self.seen.restore_from(paths)
+            self.seen.restore_from(
+                ckpt.shard_paths(self._ckpt_dir(k), self.num_shards))
         return k + 1
 
     def run_wave(self, k: int) -> dict:
@@ -266,12 +261,6 @@ class CrawlJob:
         out = out.map_batches(CanonStage(), batch_format="pyarrow")
         n_frontier = _write_ds(out, self._frontier_dir(k + 1))
 
-        # checkpoint (marker written last)
-        ck = self._ckpt_dir(k)
-        os.makedirs(ck, exist_ok=True)
-        self.seen.snapshot_to(
-            [os.path.join(ck, "seen_shard_%d.bin" % i)
-             for i in range(self.num_shards)])
         metrics = {
             "wave": k,
             "frontier_in": n_in,
@@ -281,10 +270,8 @@ class CrawlJob:
             "pages_dir": self._pages_dir(k),
             "frontier_out": self._frontier_dir(k + 1),
         }
-        with open(os.path.join(ck, "manifest.json"), "w") as f:
-            json.dump(metrics, f, indent=1)
-        with open(os.path.join(ck, "_SUCCESS"), "w") as f:
-            f.write("")
+        ckpt.write_checkpoint(self._ckpt_dir(k), self.seen,
+                              self.num_shards, metrics)
         return metrics
 
     def shutdown(self):

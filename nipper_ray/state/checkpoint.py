@@ -1,0 +1,50 @@
+"""Per-wave checkpoint state: cuckoo shard snapshots + wave manifest.
+
+Layout (resumable-output contract, ray_guide "Sources & sinks"):
+
+    <out>/ckpt/wave=K/
+        seen_shard_<i>.bin   byte-exact cuckoo filter snapshots
+        manifest.json        wave metrics + per-partition lineage
+        _SUCCESS             written LAST; its presence marks the wave
+                             complete (a killed job leaves no marker and
+                             the wave re-runs idempotently on resume)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+
+def ckpt_dir(out_dir: str, wave: int) -> str:
+    return os.path.join(out_dir, "ckpt", "wave=%d" % wave)
+
+
+def shard_paths(ck: str, num_shards: int):
+    return [os.path.join(ck, "seen_shard_%d.bin" % i)
+            for i in range(num_shards)]
+
+
+def write_checkpoint(ck: str, seen, num_shards: int, metrics: dict) -> None:
+    """Snapshot the seen-set shards and the manifest; the _SUCCESS
+    marker goes last so partial checkpoints are never trusted."""
+    os.makedirs(ck, exist_ok=True)
+    seen.snapshot_to(shard_paths(ck, num_shards))
+    with open(os.path.join(ck, "manifest.json"), "w") as f:
+        json.dump(metrics, f, indent=1)
+    with open(os.path.join(ck, "_SUCCESS"), "w") as f:
+        f.write("")
+
+
+def read_manifest(ck: str) -> dict:
+    with open(os.path.join(ck, "manifest.json")) as f:
+        return json.load(f)
+
+
+def last_complete_wave(out_dir: str) -> int:
+    """Highest wave index with a _SUCCESS marker; -1 if none."""
+    k = -1
+    while os.path.exists(os.path.join(ckpt_dir(out_dir, k + 1),
+                                      "_SUCCESS")):
+        k += 1
+    return k
