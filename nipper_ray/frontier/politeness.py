@@ -26,7 +26,6 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from .hashing import xxh64_str
 

@@ -21,7 +21,6 @@ completed waves are never re-fetched.
 
 from __future__ import annotations
 
-import json
 import os
 
 import pyarrow as pa

@@ -21,7 +21,7 @@ reference (/root/reference/src/manipulation.rs:13-33).
 from __future__ import annotations
 
 from ..dom import (
-    DOCUMENT, DOCTYPE, TEXT, COMMENT, ELEMENT,
+    DOCUMENT, DOCTYPE, TEXT, ELEMENT,
     HTML_NS, SVG_NS, MATHML_NS, Tree,
 )
 from .tokenizer import Tokenizer

@@ -12,7 +12,6 @@ import hashlib
 import re
 
 import pyarrow as pa
-import pyarrow.compute as pc
 
 # ASCII-word tokens: identical semantics to DuckDB
 # regexp_extract_all(text, '[A-Za-z0-9_]+')

@@ -1,0 +1,54 @@
+"""Property-based robustness tests (hypothesis): the parser must never
+crash, and serialization must reach a fixpoint after one round-trip
+(parse(serialize(parse(x))) == serialize(parse(x)) — the normal-form
+property html5 serialization guarantees for well-formed trees)."""
+
+from hypothesis import given, settings, strategies as st
+
+from nipper_ray.api import Document
+from nipper_ray.html import parse_document
+
+MARKUP_CHARS = st.sampled_from(list("<>&=\"' /!-abcdiv123\n\tpstyle"))
+markup = st.text(MARKUP_CHARS, max_size=120)
+any_text = st.text(max_size=120)
+
+
+@settings(max_examples=200, deadline=None)
+@given(markup)
+def test_parser_never_crashes_markup_soup(s):
+    d = Document(s)
+    d.html()
+    d.select("div, p, a[href], :root").text()
+
+
+@settings(max_examples=100, deadline=None)
+@given(any_text)
+def test_parser_never_crashes_any_text(s):
+    Document(s).html()
+
+
+@settings(max_examples=150, deadline=None)
+@given(markup)
+def test_serialize_fixpoint(s):
+    h1 = Document(s).html()
+    h2 = Document(h1).html()
+    assert Document(h2).html() == h2
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(st.sampled_from(list("abc ,.!")), max_size=60))
+def test_text_roundtrip_plain(s):
+    # plain text (no markup chars) must survive parse byte-identically
+    d = Document("<body><p>" + s + "</p></body>")
+    assert d.select("p").text() == s
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.sampled_from(
+    ["<div>", "</div>", "<b>", "</b>", "<i>", "</i>", "<p>", "</p>",
+     "<table>", "</table>", "<tr>", "<td>", "x", " "]), max_size=25))
+def test_misnesting_never_crashes(parts):
+    s = "".join(parts)
+    d = Document(s)
+    d.html()
+    d.select("div b i p td").text()

@@ -1,0 +1,74 @@
+"""Politeness selection: the salted two-phase per-host top-B must equal
+the single-phase top-B exactly (the skew optimization may not change
+semantics), and ordering must be deterministic."""
+
+import pyarrow as pa
+import pytest
+
+from nipper_ray.frontier.hashing import xxh64_str
+from nipper_ray.frontier.politeness import select_wave
+
+
+def _frontier_table(n_hot=400, n_cold=50):
+    rows = {"url": [], "host": [], "url_hash": [], "priority": [],
+            "depth": []}
+
+    def add(url, host, prio):
+        rows["url"].append(url)
+        rows["host"].append(host)
+        rows["url_hash"].append(xxh64_str(url))
+        rows["priority"].append(prio)
+        rows["depth"].append(1)
+
+    # one hot host (skew) + several cold hosts
+    for i in range(n_hot):
+        add("https://hot.example.com/p/%04d" % i, "hot.example.com",
+            1.0 / (1 + (i % 7)))
+    for h in range(4):
+        for i in range(n_cold):
+            add("https://c%d.example.com/p/%04d" % (h, i),
+                "c%d.example.com" % h, 0.5)
+    return pa.table({
+        "url": pa.array(rows["url"], pa.string()),
+        "host": pa.array(rows["host"], pa.string()),
+        "url_hash": pa.array(rows["url_hash"], pa.uint64()),
+        "priority": pa.array(rows["priority"], pa.float64()),
+        "depth": pa.array(rows["depth"], pa.int32()),
+    })
+
+
+@pytest.fixture(scope="module")
+def frontier_ds(ray_session):
+    import ray.data as rd
+
+    return rd.from_arrow(_frontier_table())
+
+
+def _rows(ds):
+    out = [(r["priority"], r["url"]) for r in ds.take_all()]
+    return sorted(out, key=lambda x: (-x[0], x[1]))
+
+
+def test_salted_equals_unsalted(frontier_ds):
+    a = _rows(select_wave(frontier_ds, per_host_budget=30,
+                          wave_budget=100, salted=True))
+    b = _rows(select_wave(frontier_ds, per_host_budget=30,
+                          wave_budget=100, salted=False))
+    assert a == b
+    assert len(a) == 100
+
+
+def test_per_host_budget_enforced(frontier_ds):
+    out = select_wave(frontier_ds, per_host_budget=10,
+                      wave_budget=10_000).take_all()
+    from collections import Counter
+
+    per_host = Counter(r["host"] for r in out)
+    assert all(v <= 10 for v in per_host.values())
+    assert per_host["hot.example.com"] == 10
+
+
+def test_deterministic_across_runs(frontier_ds):
+    a = _rows(select_wave(frontier_ds, 25, 80))
+    b = _rows(select_wave(frontier_ds, 25, 80))
+    assert a == b
