@@ -24,7 +24,12 @@ def parse_seeds(spec: str):
     if os.path.exists(spec):
         with open(spec) as f:
             return [line.strip() for line in f if line.strip()]
-    start, stop, step = (int(x) for x in spec.split(":"))
+    try:
+        start, stop, step = (int(x) for x in spec.split(":"))
+    except ValueError:
+        raise SystemExit(
+            "error: --seeds must be an existing file of URLs or "
+            "start:stop:step over doc ids (got %r)" % spec)
     return [page_url(i) for i in range(start, stop, step)]
 
 

@@ -193,7 +193,7 @@ class CrawlJob:
         # columns= prunes the read AND drops the hive partition column
         # ray.data infers from the wave=k directory name
         ds = rd.read_parquet(frontier_in, columns=list(FRONTIER_SCHEMA.names))
-        keep = ("url", "host", "depth", "priority", "warc_ts")
+        keep = ("url", "host", "depth", "priority", "warc_ts", "fetch_ok")
         if self.use_actors:
             # actor-pool shape: the right fit for long-running cluster
             # crawls where pool ramp-up amortizes
@@ -284,6 +284,9 @@ def run_crawl(sf_dir: str, out_dir: str, seed_urls, waves: int = 3,
     try:
         if resume:
             start = job.resume()
+            if start == 0 and not os.path.exists(job._frontier_dir(0)):
+                # nothing to resume from: behave like a fresh start
+                job.seed(seed_urls)
         else:
             job.seed(seed_urls)
             start = 0
