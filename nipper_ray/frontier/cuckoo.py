@@ -22,6 +22,20 @@ SLOTS = 4
 MAX_KICKS = 500
 _FP_SEED = 0x9E3779B1
 
+# fp (16-bit) -> xxh64(fp_bytes) XOR component for the alternate bucket,
+# precomputed once so batch probes are pure numpy
+_ALT_XOR = None
+
+
+def _alt_xor_table() -> np.ndarray:
+    global _ALT_XOR
+    if _ALT_XOR is None:
+        _ALT_XOR = np.fromiter(
+            (xxh64(int(fp).to_bytes(2, "little"), _FP_SEED)
+             for fp in range(1 << 16)),
+            dtype=np.uint64, count=1 << 16)
+    return _ALT_XOR
+
 
 class CuckooFilter:
     def __init__(self, capacity: int):
@@ -63,6 +77,11 @@ class CuckooFilter:
         idempotent)."""
         if self.contains_hash(h):
             return False
+        self._insert_new(h)
+        return True
+
+    def _insert_new(self, h: int) -> None:
+        """Insert a hash already known (or assumed) absent."""
         fp, i1 = self._fp_and_index(h)
         if self._try_put(i1, fp):
             self.count += 1
@@ -103,11 +122,41 @@ class CuckooFilter:
         return False
 
     def check_and_add_many(self, hashes) -> np.ndarray:
-        """Vectorized-entry batch probe+insert; returns a bool mask of
-        which hashes were new (first occurrence wins within the batch)."""
-        out = np.empty(len(hashes), dtype=bool)
-        for idx, h in enumerate(hashes):
-            out[idx] = self.add_hash(int(h))
+        """Batch probe+insert; returns a bool mask of which hashes were
+        new (first occurrence wins within the batch).
+
+        The probe — the common case at steady state, where most URLs
+        are duplicates — is fully vectorized: fingerprints, both bucket
+        indices (via the precomputed fp->alt-xor table) and slot
+        membership are numpy ops. Only hashes that probe as *new* go
+        through the scalar insert path, which re-checks (so duplicates
+        within the batch resolve correctly)."""
+        h = np.asarray(hashes, dtype=np.uint64)
+        n = len(h)
+        if n == 0:
+            return np.zeros(0, dtype=bool)
+        fp = ((h >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.uint16)
+        fp[fp == 0] = 1
+        mask64 = np.uint64(self.mask)
+        i1 = (h & mask64).astype(np.int64)
+        alt = _alt_xor_table()[fp.astype(np.int64)]
+        i2 = ((i1.astype(np.uint64) ^ alt) & mask64).astype(np.int64)
+        hit = (self.table[i1] == fp[:, None]).any(axis=1)
+        hit |= (self.table[i2] == fp[:, None]).any(axis=1)
+        if self.overflow:
+            ov = self.overflow
+            for idx in np.nonzero(~hit)[0]:
+                if int(h[idx]) in ov:
+                    hit[idx] = True
+        out = np.zeros(n, dtype=bool)
+        inserted = set()  # batch-local: duplicates within the batch
+        for idx in np.nonzero(~hit)[0]:
+            hv = int(h[idx])
+            if hv in inserted:
+                continue
+            inserted.add(hv)
+            self._insert_new(hv)
+            out[idx] = True
         return out
 
     def __len__(self):
