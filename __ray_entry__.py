@@ -393,6 +393,30 @@ def q_readability(sf_dir: str):
                           batch_size=32, concurrency=2)
 
 
+def q_crawl_wave(sf_dir: str):
+    """One full frontier wave end-to-end (robots + cuckoo dedup +
+    politeness + fetch + extract + checkpoint). Deterministic fetch set
+    under the fixed seed list and budgets -> stable rows-only check."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from nipper_ray.frontier.scheduler import run_crawl
+    from nipper_ray.sources.synth import page_url
+
+    out = os.path.join(tempfile.gettempdir(), "nipper_q_crawl")
+    shutil.rmtree(out, ignore_errors=True)
+    run_crawl(sf_dir, out, [page_url(i) for i in range(0, 120, 3)],
+              waves=1, wave_budget=100, per_host_budget=30, num_shards=4)
+    d = os.path.join(out, "pages", "wave=0")
+    t = pa.concat_tables([
+        pq.read_table(os.path.join(d, f),
+                      columns=["url", "host", "depth", "title"])
+        for f in sorted(os.listdir(d)) if f.endswith(".parquet")])
+    return t.sort_by("url")
+
+
 def q_media_features(sf_dir: str):
     from nipper_ray.ops.multimodal import (MediaFeatureStage,
                                            media_table_from_documents)
@@ -427,6 +451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": q_ann_lsh,
         "extract": q_extract,
         "readability": q_readability,
+        "crawl_wave": q_crawl_wave,
         "media_features": q_media_features,
     }
 

@@ -24,7 +24,7 @@ _UNRESERVED = frozenset(
 # canonicalize(u) == u, so the (hot) urlsplit/urlunsplit round-trip can
 # be skipped — most frontier URLs hit this after their first pass.
 _FAST_RE = re.compile(r"^https?://[a-z0-9](?:[a-z0-9.\-]*[a-z0-9])?"
-                      r"/[^#%?\s]*(?:\?[^#%\s]*)?$")
+                      r"/[^#%?\s]*(?:\?[^#%\s]+)?$")
 
 
 def _norm_pct(s: str) -> str:

@@ -22,6 +22,7 @@ completed waves are never re-fetched.
 from __future__ import annotations
 
 import os
+import time
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -188,6 +189,7 @@ class CrawlJob:
     def run_wave(self, k: int) -> dict:
         import ray.data as rd
 
+        t_wave0 = time.perf_counter()
         frontier_in = self._frontier_dir(k)
         n_in = _count_parquet_dir(frontier_in)
         # columns= prunes the read AND drops the hive partition column
@@ -234,6 +236,7 @@ class CrawlJob:
                 ExtractStage(rules=CRAWL_RULES, keep_cols=keep),
                 batch_format="pyarrow", batch_size=128)
         n_pages = _write_ds(wave, self._pages_dir(k))
+        t_pipeline = time.perf_counter()
 
         # outlinks -> next wave's frontier partitions
         pages = rd.read_parquet(self._pages_dir(k),
@@ -259,6 +262,7 @@ class CrawlJob:
         out = pages.map_batches(explode, batch_format="pyarrow")
         out = out.map_batches(CanonStage(), batch_format="pyarrow")
         n_frontier = _write_ds(out, self._frontier_dir(k + 1))
+        t_outlinks = time.perf_counter()
 
         metrics = {
             "wave": k,
@@ -268,6 +272,10 @@ class CrawlJob:
             "seen_counts": self.seen.counts(),
             "pages_dir": self._pages_dir(k),
             "frontier_out": self._frontier_dir(k + 1),
+            "phase_sec": {
+                "fetch_extract_pipeline": round(t_pipeline - t_wave0, 2),
+                "outlinks": round(t_outlinks - t_pipeline, 2),
+            },
         }
         ckpt.write_checkpoint(self._ckpt_dir(k), self.seen,
                               self.num_shards, metrics)

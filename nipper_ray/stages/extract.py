@@ -27,6 +27,7 @@ import pyarrow as pa
 
 from ..api import Document
 from ..css.matcher import CompiledSelector
+from ..html.charset import decode_html
 
 
 @dataclass(frozen=True)
@@ -72,10 +73,8 @@ class ExtractStage:
         outs = {r.name: [] for r in self.rules}
         ok = []
         for raw in html_list:
-            if isinstance(raw, bytes):
-                raw = raw.decode("utf-8", errors="replace")
             try:
-                doc = Document(raw or "")
+                doc = Document(decode_html(raw))
                 ok.append(True)
             except Exception:
                 if self.errors == "raise":

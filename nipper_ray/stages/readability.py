@@ -19,6 +19,7 @@ import pyarrow as pa
 
 from ..api import Document
 from ..dom import ELEMENT
+from ..html.charset import decode_html
 
 _UNLIKELY = re.compile(
     r"banner|combx|comment|community|disqus|extra|foot|header|legends|menu"
@@ -136,10 +137,8 @@ class ReadabilityStage:
         titles, texts, scores = [], [], []
         for i in range(len(htmls)):
             raw = htmls[i].as_py()
-            if isinstance(raw, bytes):
-                raw = raw.decode("utf-8", errors="replace")
             try:
-                out = extract_article(raw or "")
+                out = extract_article(decode_html(raw))
             except Exception:
                 out = {"title": "", "article_text": "", "score": -1.0}
             titles.append(out["title"])
