@@ -1,0 +1,82 @@
+"""WHATWG tree-construction structural conformance (beyond the
+reference's golden corpus): full-document parses serialized and
+compared against the spec-mandated tree shapes."""
+
+import pytest
+
+from nipper_ray.html import parse_document
+
+CASES = [
+    ("implied_tbody", "<table><tr><td>x</td></tr></table>",
+     "<html><head></head><body><table><tbody><tr><td>x</td></tr>"
+     "</tbody></table></body></html>"),
+    ("foster_text", "<table>foo<tr><td>x</td></tr></table>",
+     "<html><head></head><body>foo<table><tbody><tr><td>x</td></tr>"
+     "</tbody></table></body></html>"),
+    ("select_options", "<select><option>a<option>b</select>",
+     "<html><head></head><body><select><option>a</option>"
+     "<option>b</option></select></body></html>"),
+    ("p_closed_by_div", "<p>a<div>b</div>",
+     "<html><head></head><body><p>a</p><div>b</div></body></html>"),
+    ("adoption_b_p", "<b>1<p>2</b>3</p>",
+     "<html><head></head><body><b>1</b><p><b>2</b>3</p></body></html>"),
+    ("li_implied_end", "<ul><li>a<li>b</ul>",
+     "<html><head></head><body><ul><li>a</li><li>b</li></ul>"
+     "</body></html>"),
+    ("template_in_head", "<template><tr><td>x</td></tr></template>",
+     "<html><head><template><tr><td>x</td></tr></template></head>"
+     "<body></body></html>"),
+    ("dt_dd", "<dl><dt>t<dd>d</dl>",
+     "<html><head></head><body><dl><dt>t</dt><dd>d</dd></dl>"
+     "</body></html>"),
+    ("caption_col", "<table><caption>c</caption><col><tr><td>x</td></table>",
+     "<html><head></head><body><table><caption>c</caption>"
+     "<colgroup><col></colgroup><tbody><tr><td>x</td></tr></tbody>"
+     "</table></body></html>"),
+    ("svg_foreign_object",
+     "<svg><circle cx='1'/><foreignObject><p>para</p></foreignObject></svg>",
+     '<html><head></head><body><svg><circle cx="1"></circle>'
+     "<foreignObject><p>para</p></foreignObject></svg></body></html>"),
+    ("mathml_annotation",
+     "<math><mi>x</mi><annotation-xml encoding='text/html'>"
+     "<p>h</p></annotation-xml></math>",
+     '<html><head></head><body><math><mi>x</mi>'
+     '<annotation-xml encoding="text/html"><p>h</p></annotation-xml>'
+     "</math></body></html>"),
+    ("a_implicit_close", "<a href='1'>one<a href='2'>two",
+     '<html><head></head><body><a href="1">one</a><a href="2">two</a>'
+     "</body></html>"),
+    ("nested_buttons", "<p>x<button>b<button>c</button>",
+     "<html><head></head><body><p>x<button>b</button>"
+     "<button>c</button></p></body></html>"),
+    ("multi_cells", "<table><tr><td>a<td>b<tr><td>c</table>",
+     "<html><head></head><body><table><tbody><tr><td>a</td><td>b</td>"
+     "</tr><tr><td>c</td></tr></tbody></table></body></html>"),
+    ("frameset", "<frameset><frame src='x'></frameset>",
+     '<html><head></head><frameset><frame src="x"></frameset></html>'),
+    ("explicit_head_body", "<head><meta><title>t</title></head><body>b",
+     "<html><head><meta><title>t</title></head><body>b</body></html>"),
+]
+
+
+@pytest.mark.parametrize("name,inp,expected", CASES,
+                         ids=[c[0] for c in CASES])
+def test_tree_construction(name, inp, expected):
+    t = parse_document(inp)
+    html_el = t.children_ids(0)[-1]
+    assert t.serialize(html_el, include_node=True) == expected
+
+
+def test_template_excluded_from_text():
+    from nipper_ray.api import Document
+
+    d = Document("<body>a<template>hidden</template>b</body>")
+    assert d.select("body").text() == "ab"
+
+
+def test_foster_text_order_in_text():
+    # foster-parented text lands BEFORE the table in document order
+    from nipper_ray.api import Document
+
+    d = Document("<body><table>foo<tr><td>bar</td></tr></table></body>")
+    assert d.select("body").text() == "foobar"
