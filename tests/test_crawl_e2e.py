@@ -94,6 +94,22 @@ def test_ordering_parity(crawl_a, ray_session):
             "wave %d fetch set/order differs" % k
 
 
+def test_committed_golden_fetch_order(crawl_a):
+    """Crawl-ordering parity against the committed golden list
+    (FIXTURES.md §4): same seed list + politeness budget must reproduce
+    the exact fetch set and (priority desc, url asc) order."""
+    import json
+
+    out, _ = crawl_a
+    with open(os.path.join(FIXTURES, "crawl_order_golden.json")) as f:
+        golden = json.load(f)
+    for k in range(2):
+        rows = sorted(_fetched(out, k),
+                      key=lambda r: (-r["priority"], r["url"]))
+        assert [r["url"] for r in rows] == golden["wave%d" % k], \
+            "wave %d order drifted from committed golden" % k
+
+
 def test_resume_from_checkpoint(crawl_a, ray_session):
     out_a, _ = crawl_a
     out_c = "/tmp/crawl_c"
