@@ -1,0 +1,81 @@
+"""WARC source: record parsing, gz members, and the Ray read path."""
+
+import os
+
+import pytest
+
+from nipper_ray.sources.warc import (read_warc, warc_bytes_to_pages,
+                                     write_warc)
+
+PAGES = [
+    ("https://a.example.com/1", "2020-01-02T03:04:05Z",
+     b"<html><head><title>one</title></head><body><p>first</p></body></html>"),
+    ("https://b.example.com/2", "2020-01-02T03:04:06Z",
+     "<html><body>café</body></html>".encode("utf-8")),
+    ("https://c.example.com/3", "2020-01-02T03:04:07Z",
+     b"<html><body><a href='/x'>x</a></body></html>"),
+]
+
+
+@pytest.fixture(scope="module")
+def warc_files(tmp_path_factory):
+    d = tmp_path_factory.mktemp("warc")
+    plain = os.path.join(d, "test.warc")
+    gz = os.path.join(d, "test.warc.gz")
+    write_warc(plain, PAGES)
+    write_warc(gz, PAGES, gzip_members=True)
+    return plain, gz
+
+
+def test_parse_plain(warc_files):
+    plain, _ = warc_files
+    with open(plain, "rb") as f:
+        t = warc_bytes_to_pages(f.read())
+    assert t.column("url").to_pylist() == [p[0] for p in PAGES]
+    assert t.column("html").to_pylist()[0].startswith(b"<html>")
+    ts = t.column("warc_ts").to_pylist()
+    assert ts[1].year == 2020 and ts[1].second == 6
+
+
+def test_parse_gz_members(warc_files):
+    plain, gz = warc_files
+    with open(plain, "rb") as f:
+        a = warc_bytes_to_pages(f.read())
+    with open(gz, "rb") as f:
+        b = warc_bytes_to_pages(f.read())
+    assert a.equals(b)
+
+
+def test_read_warc_pipeline(warc_files, ray_session):
+    from nipper_ray.stages import extract_pages
+
+    plain, gz = warc_files
+    ds = read_warc([plain, gz])
+    out = extract_pages(ds, batch_size=8).take_all()
+    assert len(out) == 2 * len(PAGES)
+    by_url = {}
+    for r in out:
+        by_url.setdefault(r["url"], []).append(r)
+    one = by_url["https://a.example.com/1"]
+    assert all(r["title"] == "one" for r in one)
+    assert by_url["https://c.example.com/3"][0]["links"] == ["/x"]
+
+
+def test_resync_on_garbage():
+    with_garbage = b"JUNKJUNK\r\n" + open_file_bytes()
+    t = warc_bytes_to_pages(with_garbage)
+    assert len(t) == len(PAGES)
+
+
+def open_file_bytes():
+    import io
+
+    buf = io.BytesIO()
+    import tempfile
+
+    p = tempfile.mktemp(suffix=".warc")
+    write_warc(p, PAGES)
+    with open(p, "rb") as f:
+        data = f.read()
+    os.unlink(p)
+    return data
