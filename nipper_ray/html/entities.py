@@ -38,20 +38,24 @@ _CHARREF_RE = re.compile(
 _MAX_NAME = max(len(k) for k in _HTML5_ENTITIES)
 
 
-def _decode_named(name: str, in_attr: bool, full_match: str):
+def _decode_named(name: str, in_attr: bool, next_stream_char: str):
     """Longest-prefix match of *name* against the entity table.
 
-    Returns (decoded, remainder) or None if no prefix matches.
-    """
+    Returns the decoded text (+ unmatched remainder) or None.
+    *next_stream_char* is the character following the whole alnum run in
+    the surrounding string — the spec's attribute rule looks at it when
+    the legacy match consumes the entire run (e.g. ``&not=``)."""
     # try longest first; names in the table may or may not end with ';'
     for end in range(min(len(name), _MAX_NAME), 0, -1):
         prefix = name[:end]
         if prefix in _HTML5_ENTITIES:
             rest = name[end:]
             if not prefix.endswith(";"):
-                # legacy (no-semicolon) reference: inside an attribute value,
-                # if the next char is '=' or alphanumeric, don't decode
-                if in_attr and rest[:1] and (rest[0] == "=" or rest[0].isalnum()):
+                # legacy (no-semicolon) reference: inside an attribute
+                # value, if the next char is '=' or alphanumeric, the
+                # reference is NOT decoded
+                nxt = rest[:1] or next_stream_char
+                if in_attr and nxt and (nxt == "=" or nxt.isalnum()):
                     return None
             return _HTML5_ENTITIES[prefix] + rest
     return None
@@ -82,7 +86,7 @@ def decode_charrefs(s: str, in_attr: bool = False) -> str:
             if len(body) == 1 or (body[1] in "xX" and len(body) == 2):
                 return m.group(0)
             return _decode_numeric(body)
-        out = _decode_named(body, in_attr, m.group(0))
+        out = _decode_named(body, in_attr, s[m.end():m.end() + 1])
         if out is None:
             return m.group(0)
         return out
