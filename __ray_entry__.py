@@ -178,6 +178,53 @@ def q_distinct_types(sf_dir: str):
     return pa.table({"event_type": pa.array(vals, pa.string())})
 
 
+def q_session_windows(sf_dir: str):
+    """Gap-based session windows (30 min) per user: the stream-shaped
+    stateful operator done as groupby(key).map_groups over ts-sorted
+    groups (ray_guide: streaming-shaped workloads). Exact SQL oracle
+    via lag + cumulative sum."""
+    import numpy as np
+    import pandas as pd
+
+    rd = _rd()
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_id", "ts"])
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
+        sid = gap.cumsum() + 1  # first row: NaT diff -> False -> 1
+        out = g.assign(session_id=sid.astype(np.int64)).groupby(
+            "session_id", as_index=False).agg(
+                n_events=("event_id", "count"),
+                session_start=("ts", "min"))
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        return out
+
+    return ds.groupby("user_id").map_groups(sessionize,
+                                            batch_format="pandas")
+
+
+def q_top_events_per_user(sf_dir: str):
+    """Top-3 events by value per user (window-function shape as
+    groupby + map_groups head-N; deterministic tiebreak)."""
+    import pandas as pd
+
+    rd = _rd()
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_id", "value"])
+
+    def topn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(value=g.value.round(6))
+        g = g.sort_values(["value", "event_id"],
+                          ascending=[False, True], kind="mergesort")
+        out = g.head(3).copy()
+        out["rank"] = range(1, len(out) + 1)
+        return out
+
+    return ds.groupby("user_id").map_groups(topn, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # text analysis (documents)
 # ---------------------------------------------------------------------------
@@ -438,6 +485,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_revenue": q_segment_revenue,
         "top_users": q_top_users,
         "hourly_windows": q_hourly_windows,
+        "session_windows": q_session_windows,
+        "top_events_per_user": q_top_events_per_user,
         "distinct_types": q_distinct_types,
         "token_stats": q_token_stats,
         "quality": q_quality,
@@ -488,6 +537,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, date_trunc('hour', ts) AS hour,
                    count(*) AS n, round(sum(value), 6) AS sum_value
             FROM events GROUP BY event_type, hour
+        """,
+        "session_windows": """
+            WITH o AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w
+                                    > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+                SELECT user_id, event_id, ts,
+                       sum(new_s) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS session_id
+                FROM o)
+            SELECT user_id, session_id,
+                   count(*) AS n_events, min(ts) AS session_start
+            FROM s GROUP BY user_id, session_id
+        """,
+        "top_events_per_user": """
+            SELECT user_id, event_id, round(value, 6) AS value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY round(value, 6) DESC,
+                                               event_id) AS rank
+            FROM events QUALIFY rank <= 3
         """,
         "distinct_types": """
             SELECT DISTINCT event_type FROM events WHERE value > 10.0
