@@ -492,6 +492,11 @@ class TreeBuilder:
                 inner += 1
                 node_idx -= 1
                 node = self.open[node_idx]
+                # spec order: the formatting-element break comes BEFORE
+                # the counter>3 AFE eviction (otherwise the entry we are
+                # adopting gets removed out from under us)
+                if node == fmt_el:
+                    break
                 node_entry = None
                 for e in self.afe:
                     if e is not MARKER and e.el == node:
@@ -503,13 +508,8 @@ class TreeBuilder:
                         bookmark -= 1
                     node_entry = None
                 if node_entry is None:
-                    if node != fmt_el:
-                        self.open.remove(node)
-                    if node == fmt_el:
-                        break
+                    self.open.remove(node)
                     continue
-                if node == fmt_el:
-                    break
                 clone = self.tree.new_element(
                     node_entry.name, HTML_NS,
                     [list(a) for a in node_entry.attrs])
