@@ -127,8 +127,13 @@ class CanonStage:
 def _write_ds(ds, path: str) -> int:
     os.makedirs(path, exist_ok=True)
     ds.write_parquet(path)
-    return sum(pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
-               for f in os.listdir(path) if f.endswith(".parquet"))
+    return _count_parquet_dir(path)
+
+
+def _partition_lineage(path: str) -> dict:
+    """Per-partition lineage: output file -> row count."""
+    return {f: pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in sorted(os.listdir(path)) if f.endswith(".parquet")}
 
 
 def _count_parquet_dir(path: str) -> int:
@@ -272,6 +277,12 @@ class CrawlJob:
             "seen_counts": self.seen.counts(),
             "pages_dir": self._pages_dir(k),
             "frontier_out": self._frontier_dir(k + 1),
+            "lineage": {
+                "frontier_in": _partition_lineage(frontier_in),
+                "pages": _partition_lineage(self._pages_dir(k)),
+                "frontier_next": _partition_lineage(
+                    self._frontier_dir(k + 1)),
+            },
             "phase_sec": {
                 "fetch_extract_pipeline": round(t_pipeline - t_wave0, 2),
                 "outlinks": round(t_outlinks - t_pipeline, 2),

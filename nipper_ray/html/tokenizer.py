@@ -24,6 +24,9 @@ import re
 from .entities import decode_charrefs
 
 _TAG_NAME_RE = re.compile(r"[a-zA-Z][^\t\n\f />]*")
+# fast path: tag with no attributes (the majority in table-heavy HTML:
+# </td>, <tr>, <p>, ...) — one regex replaces the name+attr-loop scans
+_NOATTR_TAG_RE = re.compile(r"([a-zA-Z][a-zA-Z0-9-]*)[\t\n\f ]*(/?)>")
 _ATTR_NAME_RE = re.compile(r"[^\t\n\f /=>]+")
 _UNQUOTED_VAL_RE = re.compile(r"[^\t\n\f >]*")
 _WS_RE = re.compile(r"[\t\n\f ]*")
@@ -189,6 +192,14 @@ class Tokenizer:
         """
         s = self.s
         n = len(s)
+        m = _NOATTR_TAG_RE.match(s, name_start)
+        if m is not None:
+            name = _lower(m.group(1))
+            if end_tag:
+                self.sink.process_end_tag(name)
+            else:
+                self.sink.process_start_tag(name, [], m.group(2) == "/")
+            return m.end()
         m = _TAG_NAME_RE.match(s, name_start)
         name = _lower(m.group())
         i = m.end()
