@@ -41,6 +41,23 @@ def _lower(s: str) -> str:
     return s.translate(_ASCII_LOWER)
 
 
+# tag/attribute names repeat endlessly; memoize lowercase+interned forms
+# to cut per-tag string allocation (memory traffic is the scaling limit
+# at high worker counts — see BASELINE.md)
+_NAME_CACHE: dict = {}
+
+
+def _lower_name(s: str) -> str:
+    v = _NAME_CACHE.get(s)
+    if v is None:
+        import sys
+
+        v = sys.intern(s.translate(_ASCII_LOWER))
+        if len(_NAME_CACHE) < 8192:
+            _NAME_CACHE[s] = v
+    return v
+
+
 _SCRIPT_INTEREST_RE = re.compile(
     r"<!--|-->|</[sS][cC][rR][iI][pP][tT](?=[\t\n\f />])|"
     r"<[sS][cC][rR][iI][pP][tT](?=[\t\n\f />])"
@@ -194,14 +211,14 @@ class Tokenizer:
         n = len(s)
         m = _NOATTR_TAG_RE.match(s, name_start)
         if m is not None:
-            name = _lower(m.group(1))
+            name = _lower_name(m.group(1))
             if end_tag:
                 self.sink.process_end_tag(name)
             else:
                 self.sink.process_start_tag(name, [], m.group(2) == "/")
             return m.end()
         m = _TAG_NAME_RE.match(s, name_start)
-        name = _lower(m.group())
+        name = _lower_name(m.group())
         i = m.end()
         attrs = []
         seen = set()
@@ -238,7 +255,7 @@ class Tokenizer:
                     continue
                 aname = m2.group()
                 i = m2.end()
-            aname = _lower(aname)
+            aname = _lower_name(aname)
             # after attribute name
             while i < n and s[i] in _WS:
                 i += 1
