@@ -69,9 +69,31 @@ class ExtractStage:
         self.errors = errors
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import gc
+
         html_list = batch.column(self.html_col).to_pylist()
         outs = {r.name: [] for r in self.rules}
         ok = []
+        # the DOM arena is cycle-free (int links), so the generational
+        # GC only burns time scanning parse garbage (~13% of parse);
+        # refcounting frees everything the moment each doc drops
+        gc_was = gc.isenabled()
+        if gc_was:
+            gc.disable()
+        try:
+            self._extract_rows(html_list, outs, ok)
+        finally:
+            if gc_was:
+                gc.enable()
+        cols = {}
+        for c in self.keep_cols:
+            cols[c] = batch.column(c)
+        for r in self.rules:
+            cols[r.name] = pa.array(outs[r.name], _rule_type(r.kind))
+        cols["parse_ok"] = pa.array(ok, pa.bool_())
+        return pa.table(cols)
+
+    def _extract_rows(self, html_list, outs, ok):
         for raw in html_list:
             try:
                 doc = Document(decode_html(raw))
@@ -107,13 +129,6 @@ class ExtractStage:
                     outs[r.name].append(vals)
                 else:
                     raise ValueError("unknown rule kind %r" % kind)
-        cols = {}
-        for c in self.keep_cols:
-            cols[c] = batch.column(c)
-        for r in self.rules:
-            cols[r.name] = pa.array(outs[r.name], _rule_type(r.kind))
-        cols["parse_ok"] = pa.array(ok, pa.bool_())
-        return pa.table(cols)
 
 
 def extract_pages(ds, rules=DEFAULT_RULES, keep_cols=("url",),

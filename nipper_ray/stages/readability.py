@@ -133,17 +133,26 @@ class ReadabilityStage:
         self.html_col = html_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import gc
+
         htmls = batch.column(self.html_col)
         titles, texts, scores = [], [], []
-        for i in range(len(htmls)):
-            raw = htmls[i].as_py()
-            try:
-                out = extract_article(decode_html(raw))
-            except Exception:
-                out = {"title": "", "article_text": "", "score": -1.0}
-            titles.append(out["title"])
-            texts.append(out["article_text"])
-            scores.append(out["score"])
+        gc_was = gc.isenabled()
+        if gc_was:
+            gc.disable()  # cycle-free DOM; see ExtractStage
+        try:
+            for i in range(len(htmls)):
+                raw = htmls[i].as_py()
+                try:
+                    out = extract_article(decode_html(raw))
+                except Exception:
+                    out = {"title": "", "article_text": "", "score": -1.0}
+                titles.append(out["title"])
+                texts.append(out["article_text"])
+                scores.append(out["score"])
+        finally:
+            if gc_was:
+                gc.enable()
         return pa.table({
             "url": batch.column("url"),
             "title": pa.array(titles, pa.string()),
