@@ -220,18 +220,27 @@ def scaling():
     # with GRAFT_SCALE_LO/HI (e.g. 8/32) to measure the saturated pair.
     lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", "16"))
-    r_lo = run(lo)
-    r_hi = run(hi)
-    t_lo = r_lo["queries"]["extract"]
-    t_hi = r_hi["queries"]["extract"]
-    eff = (t_lo / t_hi) / (hi / lo)
+    trials = int(os.environ.get("GRAFT_SCALE_TRIALS", "3"))
+    # The sandbox is a slice of a shared VM host: background tenant load
+    # swings absolute run times by tens of percent on minute scales.
+    # Noise within one window hits BOTH parallelism levels, so trials
+    # are interleaved (lo,hi) pairs and the reported efficiency is the
+    # MEDIAN of the per-pair ratios; every raw trial is printed.
+    pairs = []
+    for _ in range(trials):
+        t_lo = run(lo)["queries"]["extract"]
+        t_hi = run(hi)["queries"]["extract"]
+        pairs.append((t_lo, t_hi, round((t_lo / t_hi) / (hi / lo), 3)))
+    effs = sorted(p[2] for p in pairs)
+    median_eff = effs[len(effs) // 2]
+    best = min(pairs, key=lambda p: abs(p[2] - median_eff))
     print(json.dumps({
         "pipeline": "extract",
-        "sec_%d" % lo: t_lo,
-        "sec_%d" % hi: t_hi,
-        "pages_per_sec_%d" % lo: r_lo["rates"]["extract_pages_per_sec"],
-        "pages_per_sec_%d" % hi: r_hi["rates"]["extract_pages_per_sec"],
-        "scaling_efficiency": round(eff, 3),
+        "sec_%d" % lo: best[0],
+        "sec_%d" % hi: best[1],
+        "paired_trials": [{"sec_%d" % lo: p[0], "sec_%d" % hi: p[1],
+                           "eff": p[2]} for p in pairs],
+        "scaling_efficiency": median_eff,
         "sf": SF_DIR,
     }))
 
