@@ -28,6 +28,14 @@ _TAG_NAME_RE = re.compile(r"[a-zA-Z][^\t\n\f />]*")
 # </td>, <tr>, <p>, ...) — one regex replaces the name+attr-loop scans
 _NOATTR_TAG_RE = re.compile(r"([a-zA-Z][a-zA-Z0-9-]*)[\t\n\f ]*(/?)>")
 _ATTR_NAME_RE = re.compile(r"[^\t\n\f /=>]+")
+# one-regex-per-attribute fast path: name [= value] with trailing ws;
+# an unterminated quoted value deliberately fails the quoted alternates
+# and is detected by the leading-quote check (EOF-in-tag drop)
+_ATTR_FAST_RE = re.compile(
+    r"([^\t\n\f /=>]+)"
+    r"(?:[\t\n\f ]*=[\t\n\f ]*"
+    r"(\"([^\"]*)\"|'([^']*)'|([^\t\n\f >]*)))?"
+    r"[\t\n\f ]*")
 _UNQUOTED_VAL_RE = re.compile(r"[^\t\n\f >]*")
 _WS_RE = re.compile(r"[\t\n\f ]*")
 _WS = "\t\n\f "
@@ -240,6 +248,31 @@ class Tokenizer:
                     break
                 i += 1
                 continue
+            if c != "=":
+                fm = _ATTR_FAST_RE.match(s, i)
+                if fm is not None:
+                    g5 = fm.group(5)
+                    # a quote char opening the "unquoted" alternative means
+                    # an unterminated quoted value: take the slow path
+                    if not (g5 is not None and g5[:1] in ('"', "'")):
+                        if fm.end() >= n:
+                            return n  # EOF before '>' -> drop tag
+                        aname = _lower_name(fm.group(1))
+                        if fm.group(2) is None:
+                            value = ""
+                        else:
+                            v = fm.group(3)
+                            if v is None:
+                                v = fm.group(4)
+                            if v is None:
+                                v = g5
+                            value = decode_charrefs(v, in_attr=True) \
+                                if "&" in v else v
+                        i = fm.end()
+                        if aname not in seen:
+                            seen.add(aname)
+                            attrs.append([None, aname, value])
+                        continue
             # attribute name ('=' as first char is consumed into the name)
             if c == "=":
                 aname = "="
