@@ -56,6 +56,19 @@ CASES = [
      '<html><head></head><frameset><frame src="x"></frameset></html>'),
     ("explicit_head_body", "<head><meta><title>t</title></head><body>b",
      "<html><head><meta><title>t</title></head><body>b</body></html>"),
+    ("adoption_multi_div", "<a>1<div>2<div>3</a>4",
+     "<html><head></head><body><a>1</a><div><a>2</a><div><a>3</a>4"
+     "</div></div></body></html>"),
+    ("adoption_b_i", "<b><i></b></i>x",
+     "<html><head></head><body><b><i></i></b>x</body></html>"),
+    ("reconstruct_across_p", "<p>1<b>2<p>3",
+     "<html><head></head><body><p>1<b>2</b></p><p><b>3</b></p>"
+     "</body></html>"),
+    ("formatting_spans_table", "<b>A<table><tr><td>B</td></tr></table>C</b>",
+     "<html><head></head><body><b>A<table><tbody><tr><td>B</td></tr>"
+     "</tbody></table>C</b></body></html>"),
+    ("adoption_i_p", "<i><p>x</i>y</p>",
+     "<html><head></head><body><i></i><p><i>x</i>y</p></body></html>"),
 ]
 
 
