@@ -31,7 +31,7 @@ from ..stages.extract import ExtractStage, Rule
 from ..state import checkpoint as ckpt
 from .canonicalize import canonicalize_url, host_of
 from .fetch import SynthFetchStage, put_doc_texts
-from .hashing import xxh64_str
+from .hashing import xxh64_batch, xxh64_str
 from .politeness import RobotsFilterStage, select_wave
 from .seen import DedupStage, SeenSet
 
@@ -98,7 +98,7 @@ class CanonStage:
         srcs = batch.column("src_url").to_pylist()
         depths = batch.column("depth").to_pylist()
         waves = batch.column("wave").to_pylist()
-        rows = {"url": [], "host": [], "url_hash": [], "depth": [],
+        rows = {"url": [], "host": [], "depth": [],
                 "priority": [], "discovered_ts": [], "src_url": []}
         memo = {}
         for u, s, d, w in zip(urls, srcs, depths, waves):
@@ -106,22 +106,29 @@ class CanonStage:
             hit = memo.get(key)
             if hit is None:
                 cu = canonicalize_url(u, base=s or None)
-                if cu is None:
-                    hit = (None, None, None)
-                else:
-                    hit = (cu, _host_of_canonical(cu), xxh64_str(cu))
+                hit = (cu, _host_of_canonical(cu) if cu else None)
                 memo[key] = hit
-            cu, host, uh = hit
+            cu, host = hit
             if cu is None:
                 continue
             rows["url"].append(cu)
             rows["host"].append(host)
-            rows["url_hash"].append(uh)
             rows["depth"].append(d)
             rows["priority"].append(_priority_for(d))
             rows["discovered_ts"].append(_WAVE_TS0 + w * 1000)
             rows["src_url"].append(s)
-        return pa.table(rows, schema=FRONTIER_SCHEMA)
+        # hashing is the hot half: one vectorized xxh64 pass
+        hashes = xxh64_batch(rows["url"])
+        return pa.table({
+            "url": pa.array(rows["url"], pa.string()),
+            "host": pa.array(rows["host"], pa.string()),
+            "url_hash": pa.array(hashes, pa.uint64()),
+            "depth": pa.array(rows["depth"], pa.int32()),
+            "priority": pa.array(rows["priority"], pa.float64()),
+            "discovered_ts": pa.array(rows["discovered_ts"],
+                                      pa.timestamp("ms")),
+            "src_url": pa.array(rows["src_url"], pa.string()),
+        }, schema=FRONTIER_SCHEMA)
 
 
 def _write_ds(ds, path: str) -> int:

@@ -77,3 +77,25 @@ def test_cuckoo_overflow_correctness():
     blob = cf.snapshot()
     cf2 = CuckooFilter.restore(blob)
     assert all(cf2.contains_hash(h) for h in hs)
+
+
+def test_xxh64_batch_equals_scalar():
+    import random
+
+    import numpy as np
+
+    from nipper_ray.frontier.hashing import xxh64_batch
+
+    rng = random.Random(5)
+    items = [bytes(rng.randrange(256) for _ in range(
+        rng.choice([0, 1, 3, 4, 7, 8, 12, 15, 16, 31, 32, 33, 64, 100])))
+        for _ in range(2000)]
+    items += ["https://example.com/x", "", "abc"]
+    vec = xxh64_batch(items)
+    ref = np.array([xxh64(x.encode() if isinstance(x, str) else x)
+                    for x in items], dtype=np.uint64)
+    assert (vec == ref).all()
+    vec7 = xxh64_batch(items, seed=7)
+    ref7 = np.array([xxh64(x.encode() if isinstance(x, str) else x, 7)
+                     for x in items], dtype=np.uint64)
+    assert (vec7 == ref7).all()
