@@ -25,9 +25,31 @@ from dataclasses import dataclass
 
 import pyarrow as pa
 
-from ..api import Document
+from ..api import Document, Selection
 from ..css.matcher import CompiledSelector
 from ..html.charset import decode_html
+
+
+def _select_all(tree, compileds):
+    """One preorder DFS evaluating every rule's selector per node —
+    identical per-rule results to K separate Document.select DFS walks
+    (from the single root each node is visited exactly once, so the
+    cross-root dedup in the reference's Matches iterator is a no-op),
+    at one tree traversal instead of K."""
+    results = [[] for _ in compileds]
+    nodes = tree.nodes
+    stack = [0]
+    while stack:
+        nid = stack.pop()
+        node = nodes[nid]
+        c = node.last_child
+        while c != -1:
+            stack.append(c)
+            c = nodes[c].prev
+        for k, comp in enumerate(compileds):
+            if comp.match_node(tree, nid):
+                results[k].append(nid)
+    return results
 
 
 @dataclass(frozen=True)
@@ -64,6 +86,7 @@ class ExtractStage:
         self.rules = [r if isinstance(r, Rule) else Rule(*r) for r in rules]
         # compile once per actor
         self.compiled = [(r, CompiledSelector(r.selector)) for r in self.rules]
+        self._compiled_list = [c for _, c in self.compiled]
         self.html_col = html_col
         self.keep_cols = tuple(keep_cols)
         self.errors = errors
@@ -106,8 +129,9 @@ class ExtractStage:
                     outs[r.name].append(None)
                 continue
             tree = doc.tree
-            for r, compiled in self.compiled:
-                sel = doc.select_compiled(compiled)
+            per_rule = _select_all(tree, self._compiled_list)
+            for (r, compiled), nids in zip(self.compiled, per_rule):
+                sel = Selection(tree, nids)
                 kind = r.kind
                 if kind == "text":
                     outs[r.name].append(sel.text())
