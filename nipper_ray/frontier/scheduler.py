@@ -90,14 +90,67 @@ def _host_of_canonical(url: str) -> str:
 class CanonStage:
     """Canonicalize raw outlink rows into frontier rows.
 
-    Per-batch memo: outlink batches are duplicate-heavy (the dedup stage
-    exists for a reason), so canonicalize+hash once per distinct URL."""
+    Vectorized fast lane: rows whose URL is already canonical (the
+    common case — same regex as canonicalize._FAST_RE) are classified,
+    host-extracted and timestamped entirely with Arrow C++ kernels and
+    hashed with the batched xxh64; only the residue (relative links,
+    uppercase, ports, percent-escapes) runs the per-row Python
+    canonicalizer."""
+
+    # keep in sync with canonicalize._FAST_RE (re2-compatible)
+    _FAST_PAT = (r"^https?://[a-z0-9](?:[a-z0-9.\-]*[a-z0-9])?"
+                 r"/[^#%?\s]*(?:\?[^#%\s]+)?$")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        urls = batch.column("url").to_pylist()
-        srcs = batch.column("src_url").to_pylist()
-        depths = batch.column("depth").to_pylist()
-        waves = batch.column("wave").to_pylist()
+        import pyarrow.compute as pc
+
+        if len(batch) == 0:
+            return pa.table({k: [] for k in FRONTIER_SCHEMA.names},
+                            schema=FRONTIER_SCHEMA)
+        mask = pc.fill_null(
+            pc.match_substring_regex(batch.column("url"), self._FAST_PAT),
+            False)
+        parts = []
+        fast = batch.filter(mask)
+        if len(fast):
+            urls = fast.column("url")
+            host = pc.struct_field(
+                pc.extract_regex(urls, r"^https?://(?P<h>[^/]+)/"), "h")
+            depth = pc.cast(fast.column("depth"), pa.int32())
+            prio = pc.round(
+                pc.divide(pa.scalar(1.0),
+                          pc.add(pc.cast(depth, pa.float64()),
+                                 pa.scalar(1.0))), ndigits=6)
+            ts = pc.cast(
+                pc.add(pc.multiply(pc.cast(fast.column("wave"),
+                                           pa.int64()),
+                                   pa.scalar(1000)),
+                       pa.scalar(_WAVE_TS0)),
+                pa.timestamp("ms"))
+            hashes = xxh64_batch(urls.to_pylist())
+            parts.append(pa.table({
+                "url": urls,
+                "host": host,
+                "url_hash": pa.array(hashes, pa.uint64()),
+                "depth": depth,
+                "priority": prio,
+                "discovered_ts": ts,
+                "src_url": fast.column("src_url"),
+            }, schema=FRONTIER_SCHEMA))
+        slow = batch.filter(pc.invert(mask))
+        if len(slow):
+            parts.append(self._canon_rows_python(
+                slow.column("url").to_pylist(),
+                slow.column("src_url").to_pylist(),
+                slow.column("depth").to_pylist(),
+                slow.column("wave").to_pylist()))
+        if not parts:
+            return pa.table({k: [] for k in FRONTIER_SCHEMA.names},
+                            schema=FRONTIER_SCHEMA)
+        return pa.concat_tables(parts)
+
+    @staticmethod
+    def _canon_rows_python(urls, srcs, depths, waves) -> pa.Table:
         rows = {"url": [], "host": [], "depth": [],
                 "priority": [], "discovered_ts": [], "src_url": []}
         memo = {}
@@ -117,7 +170,6 @@ class CanonStage:
             rows["priority"].append(_priority_for(d))
             rows["discovered_ts"].append(_WAVE_TS0 + w * 1000)
             rows["src_url"].append(s)
-        # hashing is the hot half: one vectorized xxh64 pass
         hashes = xxh64_batch(rows["url"])
         return pa.table({
             "url": pa.array(rows["url"], pa.string()),
