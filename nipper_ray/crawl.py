@@ -69,7 +69,8 @@ def main(argv=None):
         wave_budget=args.wave_budget, use_actors=args.use_actors,
         fixtures_dir=fixtures if os.path.isdir(fixtures) else None)
     for m in metrics:
-        print(json.dumps(m))
+        # lineage lives in the checkpoint manifest; keep stdout concise
+        print(json.dumps({k: v for k, v in m.items() if k != "lineage"}))
     if owns_ray:
         ray.shutdown()
 

@@ -185,7 +185,12 @@ class CanonStage:
 
 def _write_ds(ds, path: str) -> int:
     os.makedirs(path, exist_ok=True)
-    ds.write_parquet(path)
+    # coalesce output files: tiny per-block files defeat the partitioned
+    # layout (each reader task would open hundreds of 11-row files)
+    try:
+        ds.write_parquet(path, min_rows_per_file=10_000)
+    except TypeError:  # older ray releases
+        ds.write_parquet(path)
     return _count_parquet_dir(path)
 
 
