@@ -160,27 +160,37 @@ def synth_pages_parquet(sf_dir: str, out_dir: str | None = None,
                         limit: int | None = None,
                         include_fixtures: bool = True,
                         row_group_size: int = 512,
-                        repeat: int = 1) -> str:
+                        repeat: int = 1, n_files: int = 16) -> str:
     """Materialize (once) the synthetic pages corpus for *sf_dir*.
 
-    Output is cached under /tmp keyed by the source dir + limit; row
-    groups are kept small so ray.data.read_parquet can split the file
-    into many blocks (one ~200KB html row is heavy)."""
-    tag = "%s_l%s_r%d%s" % (os.path.basename(os.path.normpath(sf_dir)),
-                            limit, repeat,
-                            "" if include_fixtures else "_nofix")
+    Output is cached under /tmp keyed by the source dir + limit. The
+    corpus is SHARDED into n_files parquet files (like real Common
+    Crawl segments): a single file means a single read task, which
+    serializes the feed into the extraction pool and caps pipeline
+    utilization at high worker counts. Row groups stay small so each
+    file still splits into many blocks."""
+    tag = "%s_l%s_r%d_f%d%s" % (os.path.basename(os.path.normpath(sf_dir)),
+                                limit, repeat, n_files,
+                                "" if include_fixtures else "_nofix")
     out_dir = out_dir or os.path.join("/tmp", "nipper_ray_pages", tag)
-    path = os.path.join(out_dir, "pages.parquet")
-    if os.path.exists(path):
-        return path
+    done = os.path.join(out_dir, "_DONE")
+    if os.path.exists(done):
+        return out_dir
     os.makedirs(out_dir, exist_ok=True)
     table = build_pages_table(sf_dir, limit=limit,
                               include_fixtures=include_fixtures,
                               repeat=repeat)
-    tmp = path + ".tmp"
-    pq.write_table(table, tmp, row_group_size=row_group_size)
-    os.replace(tmp, path)
-    return path
+    n = len(table)
+    per = max(1, (n + n_files - 1) // n_files)
+    for i, start in enumerate(range(0, n, per)):
+        part = table.slice(start, per)
+        tmp = os.path.join(out_dir, "pages_%04d.parquet.tmp" % i)
+        pq.write_table(part, tmp, row_group_size=row_group_size)
+        os.replace(tmp, os.path.join(out_dir,
+                                     "pages_%04d.parquet" % i))
+    with open(done, "w") as f:
+        f.write(str(n))
+    return out_dir
 
 
 def read_pages(sf_dir: str, limit: int | None = None,
