@@ -79,3 +79,27 @@ def open_file_bytes():
         data = f.read()
     os.unlink(p)
     return data
+
+
+def test_fixture_byte_equality_through_warc(tmp_path, ray_session):
+    """The reference text() invariant holds through the WARC path too:
+    page.html ingested as a WARC response record extracts the same
+    bytes as the kernel."""
+    from nipper_ray.api import Document
+    from nipper_ray.stages import Rule, extract_pages
+
+    from conftest import load_fixture
+
+    html = load_fixture("page.html")
+    p = str(tmp_path / "fx.warc.gz")
+    write_warc(p, [("https://fx.example.com/page", "2020-01-01T00:00:00Z",
+                    html.encode("utf-8"))], gzip_members=True)
+    ds = read_warc([p])
+    out = extract_pages(ds, rules=(Rule("h1", "h1", "text"),
+                                   Rule("body_text", "body", "text")),
+                        batch_size=4).take_all()
+    assert len(out) == 1
+    doc = Document(html)
+    assert out[0]["h1"] == doc.select("h1").text()
+    assert out[0]["body_text"] == doc.select("body").text()
+    assert out[0]["h1"].strip() == "Provok.in"
