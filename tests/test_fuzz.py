@@ -52,3 +52,32 @@ def test_misnesting_never_crashes(parts):
     d = Document(s)
     d.html()
     d.select("div b i p td").text()
+
+
+def test_attr_fast_slow_differential():
+    """Tokenizer attribute fast path must be byte-identical to the
+    spec-exact slow path on attribute soup."""
+    import random
+
+    import nipper_ray.html.tokenizer as T
+    from nipper_ray.api import Document
+
+    class NeverMatch:
+        def match(self, *a):
+            return None
+
+    rng = random.Random(11)
+    pieces = ["a", "b2", "data-x", "=", '"', "'", " ", "/", ">", "<",
+              "&amp;", "&not", "v1", "=v", '="q w"', "='s'", '="&amp;"',
+              "=x&notz", "\t"]
+    for _ in range(600):
+        attrs = "".join(rng.choice(pieces) for _ in range(rng.randint(0, 8)))
+        html = "<p " + attrs + "><i>t</i>"
+        fast = Document(html).html()
+        saved = T._ATTR_FAST_RE
+        T._ATTR_FAST_RE = NeverMatch()
+        try:
+            slow = Document(html).html()
+        finally:
+            T._ATTR_FAST_RE = saved
+        assert fast == slow, html
