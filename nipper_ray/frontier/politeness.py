@@ -21,44 +21,22 @@ exactly where an HTTP robots fetch would go.
 
 from __future__ import annotations
 
-import re
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .hashing import xxh64_str
-
 SALT_N = 8
-_DOC_RE = re.compile(r"/doc/(\d+)$")
-
-
-class RobotsCache:
-    """Per-worker robots rule cache (one 'fetch' per host)."""
-
-    def __init__(self):
-        self._rules = {}
-
-    def disallowed_residue(self, host: str) -> int:
-        r = self._rules.get(host)
-        if r is None:
-            # stand-in for: GET http://{host}/robots.txt + parse
-            r = xxh64_str(host) % 41
-            self._rules[host] = r
-        return r
-
-    def allowed(self, host: str, path: str) -> bool:
-        m = _DOC_RE.search(path)
-        if m is None:
-            return True
-        return int(m.group(1)) % 41 != self.disallowed_residue(host)
 
 
 class RobotsFilterStage:
-    """map_batches actor stage: drop robots-disallowed URLs; the rules
-    cache lives for the actor's lifetime."""
+    """map_batches stage: drop robots-disallowed URLs. The fetched+
+    parsed robots rules are cached per actor/worker lifetime in
+    RobotsCache (frontier/robots.py) — exactly where a production HTTP
+    robots fetch would go."""
 
     def __init__(self, url_col: str = "url"):
+        from .robots import RobotsCache
+
         self.cache = RobotsCache()
         self.url_col = url_col
 
@@ -66,12 +44,12 @@ class RobotsFilterStage:
         from urllib.parse import urlsplit
 
         urls = batch.column(self.url_col).to_pylist()
-        allowed = self.cache
+        cache = self.cache
         mask = []
         for u in urls:
             parts = urlsplit(u)
-            mask.append(allowed.allowed((parts.hostname or "").lower(),
-                                        parts.path))
+            mask.append(cache.allowed((parts.hostname or "").lower(),
+                                      parts.path))
         return batch.filter(pa.array(mask, pa.bool_()))
 
 

@@ -66,7 +66,7 @@ def test_no_url_fetched_twice(crawl_a):
         seen.update(urls)
     from urllib.parse import urlsplit
 
-    from nipper_ray.frontier.politeness import RobotsCache
+    from nipper_ray.frontier.robots import RobotsCache
 
     rc = RobotsCache()
     allowed = [u for u in _seeds()

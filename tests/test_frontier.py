@@ -99,3 +99,35 @@ def test_xxh64_batch_equals_scalar():
     ref7 = np.array([xxh64(x.encode() if isinstance(x, str) else x, 7)
                      for x in items], dtype=np.uint64)
     assert (vec7 == ref7).all()
+
+
+def test_robots_parser():
+    from nipper_ray.frontier.robots import (RobotsCache, parse_robots_txt)
+
+    txt = ("# comment\n"
+           "User-agent: special-bot\n"
+           "Disallow: /\n"
+           "\n"
+           "User-agent: a\n"
+           "User-agent: b\n"
+           "Disallow: /x/\n"
+           "Disallow: /y\n"
+           "Allow: /x/ok\n"
+           "\n"
+           "User-agent: *\n"
+           "Disallow: /doc/7\n"
+           "Disallow:\n")  # empty Disallow = allow all (ignored)
+    assert parse_robots_txt(txt) == ["/doc/7"]
+    assert parse_robots_txt(txt, "special-bot") == ["/"]
+    assert parse_robots_txt(txt, "a") == ["/x/", "/y"]
+    assert parse_robots_txt(txt, "b") == ["/x/", "/y"]
+    rc = RobotsCache()
+    host = "h1.example.com"
+    from nipper_ray.frontier.hashing import xxh64_str
+
+    d = xxh64_str(host) % 10
+    assert not rc.allowed(host, "/doc/%d" % d)
+    assert not rc.allowed(host, "/doc/%d23" % d)
+    assert rc.allowed(host, "/doc/%d" % ((d + 1) % 10))
+    assert not rc.allowed(host, "/private/x")
+    assert rc.allowed(host, "/other")
