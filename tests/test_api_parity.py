@@ -133,3 +133,25 @@ def test_selector_grammar_extras():
     assert d.select("li:first-of-type").text() == "1"
     assert d.select("p:last-of-type").length() == 1
     assert d.select("li:nth-of-type(3)").text() == "3"
+
+
+def test_mutation_then_reserialize_roundtrip():
+    # mutations leave a tree whose serialization reparses to a fixpoint
+    d = Document(load_fixture("page2.html"))
+    d.select("#main").set_html("<p class='x'>new <b>bold</b></p>")
+    d.select("#nf2").remove()
+    d.select("#nf3").add_class("zed")
+    h1 = d.html()
+    h2 = Document(h1).html()
+    assert h2 == h1
+    d2 = Document(h1)
+    assert d2.select("#main p.x b").text() == "bold"
+    assert d2.select("#nf2").length() == 0
+    assert d2.select("#nf3.zed").length() == 1
+
+
+def test_replace_with_html_multi_node_content():
+    d = Document("<ul><li id='a'>1</li><li id='b'>2</li></ul>")
+    d.select("#a").replace_with_html("<li>x</li><li>y</li>")
+    assert d.select("ul li").length() == 3
+    assert d.select("ul").text() == "xy2"
