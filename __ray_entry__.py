@@ -549,8 +549,9 @@ def oracle_sql() -> dict[str, str]:
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
             s AS (
                 SELECT user_id, event_id, ts,
-                       sum(new_s) OVER (PARTITION BY user_id
-                                        ORDER BY ts, event_id) AS session_id
+                       CAST(sum(new_s) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                            AS BIGINT) AS session_id
                 FROM o)
             SELECT user_id, session_id,
                    count(*) AS n_events, min(ts) AS session_start
@@ -584,8 +585,8 @@ def oracle_sql() -> dict[str, str]:
                      len(list_filter(t, x -> lower(x) IN %s))
                        * 1000000 // len(t) END AS stop_ppm,
                    CASE WHEN len(t) = 0 THEN 0 ELSE
-                     list_sum(list_transform(t, x -> length(x)))
-                       * 1000000 // len(t) END AS word_len_ppm
+                     CAST(list_sum(list_transform(t, x -> length(x)))
+                          AS BIGINT) * 1000000 // len(t) END AS word_len_ppm
             FROM toks
         """ % STOPWORDS_SQL,
         "fingerprint": """

@@ -88,6 +88,13 @@ def main():
         else:
             for c in mine.columns:
                 a, b = mine[c], gold[c]
+                # driver hashes values -> int64 vs float64 hash-mismatches
+                # even when values are equal; be strict locally too
+                if a.dtype.kind != b.dtype.kind:
+                    print("%-20s DTYPE MISMATCH col=%s mine=%s gold=%s"
+                          % (name, c, a.dtype, b.dtype))
+                    ok = False
+                    break
                 try:
                     if a.dtype.kind == "f" or b.dtype.kind == "f":
                         same = ((a - b).abs() < 1e-9) | (a.isna() & b.isna())
