@@ -318,37 +318,21 @@ def q_exact_dedup(sf_dir: str):
 
 def q_minhash_neardup(sf_dir: str):
     """MinHash -> LSH banding -> bucket groupby -> candidate pairs ->
-    true word-3-gram Jaccard verification (threshold 0.6).
+    shingle-blob hash join -> true word-3-gram Jaccard verification
+    (threshold 0.6).  Fully distributed: no driver-side corpus
+    materialization (ops/dedup.py minhash_neardup).
 
     The driver's synthetic documents table contains genuine near-dup
     pairs (all with true Jaccard >= 0.88, nothing between 0.3 and 0.85),
     so with 16 bands x 4 rows the LSH recall at the threshold is ~1-1e-7
     and the result equals the exact SQL jaccard join in the oracle."""
-    import pandas as pd
-
-    from nipper_ray.ops.dedup import (candidate_pairs_from_band,
-                                      lsh_bands_stage, minhash_stage,
-                                      ngram_jaccard)
+    from nipper_ray.ops.dedup import minhash_neardup
 
     rd = _rd()
     corpus = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                              columns=["doc_id", "text"])
-    sigs = corpus.map_batches(minhash_stage, batch_format="pyarrow",
-                              batch_size=256)
-    bands = sigs.map_batches(lsh_bands_stage, batch_format="pyarrow")
-    cand = bands.groupby(["band_id", "band_key"]).map_groups(
-        candidate_pairs_from_band, batch_format="pandas")
-    pairs = cand.to_pandas().drop_duplicates(["a", "b"])
-    # verify with true jaccard (broadcast text lookup; small corpus here,
-    # hash-join text back by id at scale)
-    texts = {r["doc_id"]: r["text"] for r in corpus.take_all()}
-    keep_a, keep_b = [], []
-    for a, b in zip(pairs["a"], pairs["b"]):
-        if ngram_jaccard(texts[a], texts[b], 3) >= 0.6:
-            keep_a.append(int(a))
-            keep_b.append(int(b))
-    out = pd.DataFrame({"a": keep_a, "b": keep_b}).sort_values(["a", "b"])
-    return pa.Table.from_pandas(out.reset_index(drop=True))
+    return minhash_neardup(corpus, threshold=0.6, n=3, n_bands=16,
+                           num_partitions=4)
 
 
 def q_simhash(sf_dir: str):
@@ -362,18 +346,16 @@ def q_simhash(sf_dir: str):
 
 
 def q_embedding_neardup(sf_dir: str):
-    """embedding-cosine near-dup pairs (threshold 0.3, rounded sims)."""
-    from nipper_ray.ops.dedup import embedding_neardup_pairs
+    """embedding-cosine near-dup pairs (threshold 0.3, rounded sims),
+    exact and fully distributed via the block grid
+    (ops/dedup.py embedding_neardup_blocked) — no driver concat."""
+    from nipper_ray.ops.dedup import embedding_neardup_blocked
 
     rd = _rd()
     ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                          columns=["vec_id", "embedding"])
-    # all-pairs within one table: materialize to a single Arrow table
-    # (embeddings are the small side; at scale this runs per LSH bucket)
-    t = pa.concat_tables(list(ds.iter_batches(batch_size=65536,
-                                              batch_format="pyarrow")))
-    out = embedding_neardup_pairs(t, threshold=0.3)
-    return out.select(["a", "b"])
+    out = embedding_neardup_blocked(ds, threshold=0.3, n_blocks=4)
+    return out.select_columns(["a", "b"])
 
 
 # ---------------------------------------------------------------------------

@@ -194,6 +194,15 @@ def _xxh64_fixed(mat: "_np.ndarray", seed: int) -> "_np.ndarray":
     return h
 
 
+def xxh64_fixed_rows(mat: "_np.ndarray", seed: int = 0) -> "_np.ndarray":
+    """Vectorized xxh64 of n same-length byte rows ((n, L) uint8 matrix);
+    bit-identical to ``xxh64(row.tobytes(), seed)`` per row."""
+    if mat.shape[0] == 0:
+        return _np.empty(0, dtype=_np.uint64)
+    with _np.errstate(over="ignore"):
+        return _xxh64_fixed(_np.ascontiguousarray(mat), seed)
+
+
 def xxh64_batch(items, seed: int = 0) -> "_np.ndarray":
     """Vectorized xxh64 over a list of str/bytes -> uint64 array."""
     bs = [x.encode("utf-8") if isinstance(x, str) else x for x in items]

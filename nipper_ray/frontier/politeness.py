@@ -13,10 +13,11 @@ union of per-salt top-Bs equals the exact per-host top-B, so the hot
 host's work fans out over SALT_N tasks without changing semantics.
 
 Robots: the sandbox has no network, so robots.txt is a deterministic
-synthetic policy per host (path /doc/<id> disallowed iff
-id % 41 == xxh64(host) % 41); the *plumbing* is real — rules are
-fetched once per host and memoized in actor state (RobotsCache),
-exactly where an HTTP robots fetch would go.
+synthetic file per host (each host disallows the ``/doc/<digit>``
+prefix derived from xxh64(host) % 10 — see frontier/robots.py); the
+*plumbing* is real — the robots file is fetched+parsed once per host
+and memoized in actor/worker state (RobotsCache), exactly where an
+HTTP robots fetch would go.
 """
 
 from __future__ import annotations
@@ -41,15 +42,39 @@ class RobotsFilterStage:
         self.url_col = url_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from urllib.parse import urlsplit
+        import pyarrow.compute as pc
 
-        urls = batch.column(self.url_col).to_pylist()
+        if len(batch) == 0:
+            return batch
+        # one vectorized regex pass extracts host + path for canonical
+        # URLs; only rows the regex can't split (no path, exotic
+        # schemes) fall back to per-row urlsplit
+        parts = pc.extract_regex(
+            batch.column(self.url_col),
+            r"^[a-z][a-z0-9+.\-]*://(?P<h>[^/?#]+)(?P<p>/[^?#]*)?")
+        hosts = pc.struct_field(parts, "h").to_pylist()
+        paths = pc.struct_field(parts, "p").to_pylist()
         cache = self.cache
         mask = []
-        for u in urls:
-            parts = urlsplit(u)
-            mask.append(cache.allowed((parts.hostname or "").lower(),
-                                      parts.path))
+        for u, h, p in zip(batch.column(self.url_col).to_pylist(),
+                           hosts, paths):
+            if h is None:
+                from urllib.parse import urlsplit
+
+                sp = urlsplit(u)
+                h, p = (sp.hostname or "").lower(), sp.path
+            else:
+                # canonical URLs are already lowercase; strip port +
+                # userinfo the way urlsplit.hostname does
+                if "@" in h:
+                    h = h.rsplit("@", 1)[1]
+                if h.startswith("["):  # IPv6 literal
+                    h = h[1:h.index("]")] if "]" in h else h[1:]
+                elif ":" in h:
+                    h = h.split(":", 1)[0]
+                h = h.lower()
+                p = p or ""
+            mask.append(cache.allowed(h, p))
         return batch.filter(pa.array(mask, pa.bool_()))
 
 

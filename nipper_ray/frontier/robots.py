@@ -1,9 +1,10 @@
 """robots.txt fetching, parsing and caching.
 
-Real robots semantics (the original robots exclusion protocol subset
-that covers the vast majority of robots.txt files in the wild):
-``User-agent`` sections, ``Disallow`` path prefixes, longest-prefix
-wins, empty Disallow means allow-all. Rules for ``*`` apply to us.
+Real robots semantics (the REP subset that covers the vast majority of
+robots.txt files in the wild): ``User-agent`` sections, ``Disallow``
+AND ``Allow`` path prefixes with longest-match precedence (the
+most-specific rule wins; on an exact tie Allow wins, per Google's REP
+draft), empty Disallow means allow-all. Rules for ``*`` apply to us.
 
 The sandbox has no network, so ``fetch_robots_txt`` returns a
 deterministic synthetic robots.txt per host (each host disallows the
@@ -32,9 +33,10 @@ def fetch_robots_txt(host: str) -> str:
 
 
 def parse_robots_txt(text: str, agent: str = "*"):
-    """Returns the list of disallowed path prefixes for *agent*
-    (falling back to the ``*`` group), per the classic REP rules."""
-    groups = {}  # agent(lower) -> [prefixes]
+    """Returns the rule list for *agent* (falling back to the ``*``
+    group) as ``[(prefix, is_allow), ...]``.  An empty ``Disallow:``
+    clears nothing — it is simply no rule (allow-all by default)."""
+    groups = {}  # agent(lower) -> [(prefix, is_allow)]
     current_agents = []
     last_was_agent = False
     for raw in text.splitlines():
@@ -53,9 +55,10 @@ def parse_robots_txt(text: str, agent: str = "*"):
             last_was_agent = True
         elif field in ("disallow", "allow"):
             last_was_agent = False
-            if field == "disallow" and value:
+            if value:
                 for a in current_agents:
-                    groups.setdefault(a, []).append(value)
+                    groups.setdefault(a, []).append(
+                        (value, field == "allow"))
         else:
             last_was_agent = False
     agent = agent.lower()
@@ -65,16 +68,25 @@ def parse_robots_txt(text: str, agent: str = "*"):
 
 
 class RobotsRules:
-    __slots__ = ("disallow",)
+    __slots__ = ("rules",)
 
-    def __init__(self, prefixes):
-        self.disallow = tuple(prefixes)
+    def __init__(self, rules):
+        # normalize legacy plain-prefix lists to (prefix, is_allow)
+        self.rules = tuple(
+            r if isinstance(r, tuple) else (r, False) for r in rules)
 
     def allowed(self, path: str) -> bool:
-        for p in self.disallow:
-            if path.startswith(p):
-                return False
-        return True
+        """Longest-match precedence: the most specific matching rule
+        decides; exact-length tie goes to Allow; no match -> allowed."""
+        best_len = -1
+        best_allow = True
+        for prefix, is_allow in self.rules:
+            if path.startswith(prefix):
+                n = len(prefix)
+                if n > best_len or (n == best_len and is_allow):
+                    best_len = n
+                    best_allow = is_allow
+        return best_allow
 
 
 class RobotsCache:

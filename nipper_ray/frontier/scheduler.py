@@ -24,6 +24,7 @@ from __future__ import annotations
 import os
 import time
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -184,6 +185,14 @@ class CanonStage:
 
 
 def _write_ds(ds, path: str) -> int:
+    # purge any partial output from a previous crashed attempt of this
+    # wave: ray's write_parquet uses unique filenames, so re-running an
+    # incomplete wave (one with no _SUCCESS checkpoint yet) would
+    # otherwise APPEND beside stale files and duplicate rows on resume
+    if os.path.isdir(path):
+        import shutil
+
+        shutil.rmtree(path)
     os.makedirs(path, exist_ok=True)
     # coalesce output files: tiny per-block files defeat the partitioned
     # layout (each reader task would open hundreds of 11-row files)
@@ -312,20 +321,19 @@ class CrawlJob:
                                 columns=["url", "links", "depth"])
 
         def explode(t: pa.Table) -> pa.Table:
-            urls, srcs, depths, waves = [], [], [], []
-            for src, links, d in zip(t.column("url").to_pylist(),
-                                     t.column("links").to_pylist(),
-                                     t.column("depth").to_pylist()):
-                for link in links or []:
-                    urls.append(link)
-                    srcs.append(src)
-                    depths.append(d + 1)
-                    waves.append(k + 1)
+            import pyarrow.compute as pc
+
+            links = t.column("links")
+            parents = pc.list_parent_indices(links)
             return pa.table({
-                "url": pa.array(urls, pa.string()),
-                "src_url": pa.array(srcs, pa.string()),
-                "depth": pa.array(depths, pa.int32()),
-                "wave": pa.array(waves, pa.int32()),
+                "url": pc.cast(pc.list_flatten(links), pa.string()),
+                "src_url": pc.cast(pc.take(t.column("url"), parents),
+                                   pa.string()),
+                "depth": pc.cast(
+                    pc.add(pc.take(t.column("depth"), parents), 1),
+                    pa.int32()),
+                "wave": pa.array(
+                    np.full(len(parents), k + 1, dtype=np.int32)),
             })
 
         out = pages.map_batches(explode, batch_format="pyarrow")

@@ -5,9 +5,12 @@ set is a *shared mutable index* that must persist across waves and be
 consulted/updated from every dedup task, which ``map_batches`` alone
 cannot express (SURVEY.md §2.7). Design:
 
-- S shard actors, shard routing by ``url_hash % S`` — stable across
-  waves and resumes, so each shard's filter is authoritative for its
-  hash space;
+- S shard actors, shard routing by ``(url_hash >> 20) % S`` — stable
+  across waves and resumes, so each shard's filter is authoritative for
+  its hash space.  The 20-bit shift keeps the routing bits disjoint
+  from both the cuckoo bucket index (low ~18 bits) and the fingerprint
+  (bits 48-63): routing on the low bits would fix them per shard and
+  collapse every shard's primary buckets to 1/S of its table;
 - the dedup stage is a ``map_batches`` callable class holding the shard
   handles; per batch it partitions hashes by shard (numpy), issues one
   batched RPC per touched shard in parallel, and filters the batch by
@@ -101,7 +104,8 @@ class DedupStage:
         if len(batch) == 0:
             return batch
         h = batch.column(self.hash_col).to_numpy(zero_copy_only=False)
-        shard = (h % np.uint64(self.num_shards)).astype(np.int64)
+        shard = ((h >> np.uint64(20))
+                 % np.uint64(self.num_shards)).astype(np.int64)
         mask = np.zeros(len(h), dtype=bool)
         touched = np.unique(shard)
         refs, idxs = [], []

@@ -6,27 +6,41 @@ Scale notes (the 100 TB shapes):
 - exact dedup = one content-hash ``map_batches`` (cheap, vectorized)
   followed by ONE ``groupby(hash)`` shuffle keeping the min doc_id per
   group — the only all-to-all exchange;
-- MinHash: signatures are computed batch-local (shingle -> 64-bit hash
-  -> per-permutation min, numpy); LSH banding explodes each doc into
-  ``n_bands`` small (band_id, band_key, doc_id) rows, and the candidate
-  groupby shuffles only those narrow rows, never the documents;
-- candidate pairs are verified with true n-gram Jaccard only within
-  buckets (pair count is bucket-bounded), then clustered by min-label
-  union-find on the (small) pair list;
+- MinHash (``minhash_neardup``): shingle hashing is one lane-batched
+  xxh64 call per batch (frontier/hashing.py), signatures one
+  ``np.minimum.reduceat`` — no per-shingle Python; LSH banding explodes
+  each doc into ``n_bands`` narrow (band_id, band_key, doc_id) rows and
+  the candidate groupby shuffles only those, never the documents;
+  candidate pairs are deduped with a narrow groupby, then the per-doc
+  *distinct shingle-hash sets* (a binary blob ~8 bytes/word, carried on
+  the signature table — not the texts) are hash-joined back to the pair
+  rows (``Dataset.join``) and true Jaccard is verified inside the map
+  task.  Nothing is ever materialized on the driver.
 - SimHash gives a 64-bit near-dup key; bucketing by 16-bit bands of the
   simhash finds hamming-close candidates the same way.
+- embedding near-dup (``embedding_neardup_blocked``): exact all-pairs
+  cosine at threshold t via a block grid — row i goes to the
+  ``n_blocks`` unordered block-pair groups containing block(i), each
+  group computes its cross/upper-triangle pairs with one matmul.  Every
+  unordered row pair co-locates in exactly one group; shuffle volume is
+  ``n_blocks`` × input.  (An LSH pre-filter is NOT correct here: at
+  t=0.3 the surviving pairs disagree on ~40 % of hyperplane bits, so
+  bucket-equality recall is ≈0.6^16 — measured on the test corpus the
+  pairs sit at cosine 0.30–0.51.  Exact grids are the only way to match
+  an exact-threshold oracle.)
 
 All RNG-free: hash seeds are fixed constants.
 """
 
 from __future__ import annotations
 
-import hashlib
 import re
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+from ..frontier.hashing import xxh64_batch, xxh64_fixed_rows
 
 _WORD_RE = re.compile(r"[A-Za-z0-9_]+")
 
@@ -39,21 +53,71 @@ _AS = np.array([((2 * i + 1) * 0x9E3779B97F4A7C15 | 1) & 0xFFFFFFFFFFFFFFFF
                 for i in range(1, _N_PERM + 1)], dtype=np.uint64)
 _BS = np.array([((i * i + 7) * 0xC2B2AE3D27D4EB4F) & 0xFFFFFFFFFFFFFFFF
                 for i in range(1, _N_PERM + 1)], dtype=np.uint64)
+_U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+# cap on shingles expanded per reduceat chunk: bounds the temporary
+# (chunk, 64) uint64 permutation matrix to ~64 MB
+_SIG_CHUNK = 1 << 17
+
+
+def shingle_hashes_batch(texts, n: int = 3, short_doc_fallback=False):
+    """Word n-gram shingles for a whole batch, hashed in ONE lane-batched
+    xxh64 pass.  Returns ``(all_hashes, offsets)`` with doc i's shingles
+    at ``all_hashes[offsets[i]:offsets[i+1]]`` (not distinct).
+
+    Docs with fewer than n words contribute ZERO shingles (mirroring the
+    SQL oracle's ``len(w) >= n`` filter) unless ``short_doc_fallback``
+    asks for the legacy single whole-text shingle."""
+    shingles: list = []
+    offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+    for i, t in enumerate(texts):
+        words = _WORD_RE.findall((t or "").lower())
+        if len(words) >= n:
+            shingles.extend(" ".join(words[j:j + n])
+                            for j in range(len(words) - n + 1))
+        elif short_doc_fallback:
+            shingles.append(" ".join(words))
+        offsets[i + 1] = len(shingles)
+    all_h = (xxh64_batch(shingles) if shingles
+             else np.empty(0, dtype=np.uint64))
+    return all_h, offsets
 
 
 def _shingle_hashes(text: str, n: int = 5) -> np.ndarray:
-    """Word n-gram shingles -> stable 64-bit hashes."""
-    words = _WORD_RE.findall((text or "").lower())
-    if len(words) < n:
-        shingles = [" ".join(words)] if words else [""]
-    else:
-        shingles = [" ".join(words[i:i + n])
-                    for i in range(len(words) - n + 1)]
-    out = np.empty(len(shingles), dtype=np.uint64)
-    for i, s in enumerate(shingles):
-        out[i] = int.from_bytes(
-            hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
-    return out
+    """Single-doc shingle hashes (legacy kernel; short docs fall back to
+    one whole-text shingle so ngram_jaccard stays total)."""
+    all_h, _ = shingle_hashes_batch([text], n, short_doc_fallback=True)
+    return all_h
+
+
+def _sigs_from_hashes(all_h: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Minhash signatures from batched shingle hashes: one
+    ``np.minimum.reduceat`` over the (chunk, N_PERM) permutation matrix
+    per bounded chunk.  Docs with no shingles get the all-ones
+    signature (deterministic, never collides with a real min)."""
+    n_docs = len(offsets) - 1
+    sigs = np.full((n_docs, _N_PERM), _U64_MAX, dtype=np.uint64)
+    if len(all_h) == 0:
+        return sigs
+    doc = 0
+    with np.errstate(over="ignore"):
+        while doc < n_docs:
+            end = doc + 1
+            while (end < n_docs
+                   and offsets[end + 1] - offsets[doc] <= _SIG_CHUNK):
+                end += 1
+            lo, hi = offsets[doc], offsets[end]
+            seg = all_h[lo:hi]
+            if len(seg):
+                m = (seg[:, None] ^ _BS[None, :]) * _AS[None, :]
+                counts = offsets[doc + 1:end + 1] - offsets[doc:end]
+                nonempty = counts > 0
+                starts = (offsets[doc:end] - lo)[nonempty]
+                if len(starts):
+                    red = np.minimum.reduceat(m, starts, axis=0)
+                    sigs[np.nonzero(nonempty)[0] + doc] = red
+            doc = end
+    return sigs
 
 
 def minhash_signature(text: str, n: int = 5) -> np.ndarray:
@@ -61,14 +125,11 @@ def minhash_signature(text: str, n: int = 5) -> np.ndarray:
 
 
 def minhash_signatures_batch(texts, n: int = 5) -> np.ndarray:
-    """Vectorized minhash for a batch: one (n_docs, N_PERM) matrix."""
-    sigs = np.empty((len(texts), _N_PERM), dtype=np.uint64)
-    with np.errstate(over="ignore"):
-        for i, t in enumerate(texts):
-            sh = _shingle_hashes(t, n)
-            m = (sh[:, None] ^ _BS[None, :]) * _AS[None, :]  # wraps mod 2^64
-            sigs[i] = m.min(axis=0)
-    return sigs
+    """Vectorized minhash for a batch: one (n_docs, N_PERM) matrix.
+    Short docs use the legacy whole-text-shingle fallback."""
+    all_h, offsets = shingle_hashes_batch(texts, n,
+                                          short_doc_fallback=True)
+    return _sigs_from_hashes(all_h, offsets)
 
 
 def minhash_stage(batch: pa.Table, id_col: str = "doc_id",
@@ -81,26 +142,49 @@ def minhash_stage(batch: pa.Table, id_col: str = "doc_id",
     })
 
 
+def shingle_minhash_stage(batch: pa.Table, id_col: str = "doc_id",
+                          text_col: str = "text", n: int = 3) -> pa.Table:
+    """Near-dup pipeline stage: doc_id, minhash signature, and the
+    distinct shingle-hash set as a sorted little-endian uint64 blob
+    (the verification payload — ~8 bytes per word, ~10× smaller than
+    the text).  Docs with fewer than n words are DROPPED, mirroring the
+    oracle's ``len(w) >= n`` filter."""
+    texts = batch.column(text_col).to_pylist()
+    all_h, offsets = shingle_hashes_batch(texts, n)
+    sigs = _sigs_from_hashes(all_h, offsets)
+    keep = np.nonzero(np.diff(offsets) > 0)[0]
+    blobs = [np.unique(all_h[offsets[i]:offsets[i + 1]]).tobytes()
+             for i in keep]
+    return pa.table({
+        id_col: batch.column(id_col).take(pa.array(keep, pa.int64())),
+        "minhash": pa.array(list(sigs[keep]),
+                            pa.list_(pa.uint64(), _N_PERM)),
+        "shingles": pa.array(blobs, pa.binary()),
+    })
+
+
 def lsh_bands_stage(batch: pa.Table, n_bands: int = 16,
                     id_col: str = "doc_id") -> pa.Table:
-    """Explode signatures into (band_id, band_key, doc_id) rows."""
+    """Explode signatures into (band_id, band_key, doc_id) rows.
+    Band keys are one vectorized xxh64 pass over the per-band signature
+    byte rows (a key collision only adds a candidate pair, which the
+    Jaccard verification then rejects — never a correctness issue)."""
+    n = len(batch)
     rows_per = _N_PERM // n_bands
-    ids = batch.column(id_col).to_pylist()
-    sigs = batch.column("minhash").to_pylist()
-    b_ids, b_keys, d_ids = [], [], []
-    for did, sig in zip(ids, sigs):
-        for b in range(n_bands):
-            chunk = sig[b * rows_per:(b + 1) * rows_per]
-            key = hashlib.blake2b(
-                np.array(chunk, dtype=np.uint64).tobytes(),
-                digest_size=8).hexdigest()
-            b_ids.append(b)
-            b_keys.append(key)
-            d_ids.append(did)
+    col = batch.column("minhash")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    sigs = col.flatten().to_numpy(zero_copy_only=False).reshape(n, _N_PERM)
+    band_bytes = (np.ascontiguousarray(sigs.astype(np.uint64, copy=False))
+                  .view(np.uint8)
+                  .reshape(n * n_bands, rows_per * 8))
+    keys = xxh64_fixed_rows(band_bytes)
     return pa.table({
-        "band_id": pa.array(b_ids, pa.int32()),
-        "band_key": pa.array(b_keys, pa.string()),
-        id_col: pa.array(d_ids, pa.int64()),
+        "band_id": pa.array(np.tile(np.arange(n_bands, dtype=np.int32), n)),
+        "band_key": pa.array(keys, pa.uint64()),
+        id_col: pa.array(
+            np.repeat(batch.column(id_col).to_numpy(zero_copy_only=False),
+                      n_bands), pa.int64()),
     })
 
 
@@ -108,13 +192,66 @@ def candidate_pairs_from_band(g: pd.DataFrame) -> pd.DataFrame:
     """map_groups fn over (band_id, band_key): emit unique id pairs."""
     ids = sorted(g["doc_id"].tolist())
     if len(ids) < 2:
-        return pd.DataFrame({"a": [], "b": []})
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64")})
     a, b = [], []
     for i in range(len(ids)):
         for j in range(i + 1, len(ids)):
             a.append(ids[i])
             b.append(ids[j])
     return pd.DataFrame({"a": a, "b": b})
+
+
+def jaccard_verify_stage(batch: pa.Table,
+                         threshold: float = 0.6) -> pa.Table:
+    """Verify candidate pairs by exact Jaccard over the joined distinct
+    shingle-hash blobs (columns sh_a / sh_b); keeps (a, b)."""
+    keep = []
+    for x, y in zip(batch.column("sh_a").to_pylist(),
+                    batch.column("sh_b").to_pylist()):
+        ha = np.frombuffer(x, dtype="<u8")
+        hb = np.frombuffer(y, dtype="<u8")
+        inter = len(np.intersect1d(ha, hb, assume_unique=True))
+        keep.append(inter / (len(ha) + len(hb) - inter) >= threshold)
+    return batch.select(["a", "b"]).filter(pa.array(keep, pa.bool_()))
+
+
+def minhash_neardup(corpus_ds, threshold: float = 0.6, n: int = 3,
+                    n_bands: int = 16, num_partitions: int = 8,
+                    id_col: str = "doc_id", text_col: str = "text"):
+    """Full distributed MinHash near-dup pipeline: Dataset[id, text] ->
+    Dataset[a, b] of verified pairs (true n-gram Jaccard >= threshold).
+
+    Everything streams: documents are read once into the signature
+    table (id, minhash, shingle-blob), which is the branch point for
+    (a) LSH banding -> narrow candidate shuffle and (b) the two hash
+    joins that bring each pair's shingle blobs to the verify task.
+    ``materialize()`` pins the signature table in the (distributed,
+    spillable) object store — at 100 TB write it to Parquet once and
+    read both branches from that checkpoint instead."""
+    from ray.data.aggregate import Count
+
+    sh = corpus_ds.map_batches(
+        shingle_minhash_stage, batch_format="pyarrow", batch_size=256,
+        fn_kwargs={"id_col": id_col, "text_col": text_col, "n": n})
+    sh = sh.materialize()
+    bands = sh.select_columns([id_col, "minhash"]).map_batches(
+        lsh_bands_stage, batch_format="pyarrow",
+        fn_kwargs={"n_bands": n_bands, "id_col": id_col})
+    cand = bands.groupby(["band_id", "band_key"]).map_groups(
+        candidate_pairs_from_band, batch_format="pandas")
+    cand = (cand.groupby(["a", "b"])
+            .aggregate(Count(alias_name="_nb"))
+            .select_columns(["a", "b"]))
+    shing = sh.select_columns([id_col, "shingles"])
+    j = cand.join(shing, "inner", num_partitions,
+                  on=("a",), right_on=(id_col,))
+    j = j.rename_columns({"shingles": "sh_a"})
+    j = j.join(shing, "inner", num_partitions,
+               on=("b",), right_on=(id_col,))
+    j = j.rename_columns({"shingles": "sh_b"})
+    return j.map_batches(jaccard_verify_stage, batch_format="pyarrow",
+                         fn_kwargs={"threshold": threshold})
 
 
 def ngram_jaccard(t1: str, t2: str, n: int = 5) -> float:
@@ -128,30 +265,44 @@ def ngram_jaccard(t1: str, t2: str, n: int = 5) -> float:
 
 # -- simhash ----------------------------------------------------------------
 def simhash64(text: str) -> int:
-    words = _WORD_RE.findall((text or "").lower())
+    return int(simhash64_batch([text])[0])
+
+
+def simhash64_batch(texts) -> np.ndarray:
+    """Vectorized simhash: one xxh64 pass over all words in the batch,
+    then per-doc bit-vote via ``np.add.reduceat`` on the unpacked bit
+    matrix."""
+    words: list = []
+    offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+    for i, t in enumerate(texts):
+        words.extend(_WORD_RE.findall((t or "").lower()))
+        offsets[i + 1] = len(words)
+    out = np.zeros(len(texts), dtype=np.uint64)
     if not words:
-        return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for w in words:
-        h = int.from_bytes(
-            hashlib.blake2b(w.encode(), digest_size=8).digest(), "little")
-        bits = np.unpackbits(
-            np.frombuffer(h.to_bytes(8, "little"), dtype=np.uint8))
-        acc += bits.astype(np.int64) * 2 - 1
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= (1 << i)
+        return out
+    h = xxh64_batch(words)
+    # (n_words, 64) sign matrix: bit b of hash -> +1/-1
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)).astype(np.int64) * 2 - 1
+    counts = np.diff(offsets)
+    nonempty = counts > 0
+    starts = offsets[:-1][nonempty]
+    if len(starts):
+        votes = np.add.reduceat(bits, starts, axis=0)
+        keys = np.zeros(len(starts), dtype=np.uint64)
+        pos = votes > 0
+        for b in range(64):
+            keys |= pos[:, b].astype(np.uint64) << np.uint64(b)
+        out[np.nonzero(nonempty)[0]] = keys
     return out
 
 
 def simhash_stage(batch: pa.Table, id_col: str = "doc_id",
                   text_col: str = "text") -> pa.Table:
     texts = batch.column(text_col).to_pylist()
-    hs = [simhash64(t) for t in texts]
     return pa.table({
         id_col: batch.column(id_col),
-        "simhash": pa.array(hs, pa.uint64()),
+        "simhash": pa.array(simhash64_batch(texts), pa.uint64()),
     })
 
 
@@ -162,22 +313,95 @@ def hamming64(a: int, b: int) -> int:
 # -- embedding near-dup ------------------------------------------------------
 def embedding_neardup_pairs(emb_table: pa.Table, threshold: float = 0.95,
                             id_col: str = "vec_id") -> pa.Table:
-    """Batch-local all-pairs cosine (numpy matmul); used per LSH bucket
-    or per block at scale, full-batch in tests."""
-    ids = np.asarray(emb_table.column(id_col).to_pylist())
-    m = np.array(emb_table.column("embedding").to_pylist(),
-                 dtype=np.float64)
-    norms = np.linalg.norm(m, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    mn = m / norms
+    """Batch-local all-pairs cosine (numpy matmul); the kernel under
+    ``embedding_neardup_blocked``'s per-group computation — full-batch
+    in tests.  Thresholding is on round(sim, 6), matching the oracle."""
+    from .similarity import embedding_matrix
+
+    ids = emb_table.column(id_col).to_numpy(zero_copy_only=False)
+    mn = _normalize_rows(embedding_matrix(emb_table.column("embedding")))
     sims = mn @ mn.T
     iu = np.triu_indices(len(ids), k=1)
-    mask = sims[iu] >= threshold
+    r = np.round(sims[iu], 6)
+    mask = r >= threshold
     return pa.table({
         "a": pa.array(ids[iu[0][mask]], pa.int64()),
         "b": pa.array(ids[iu[1][mask]], pa.int64()),
-        "cosine": pa.array(np.round(sims[iu][mask], 6), pa.float64()),
+        "cosine": pa.array(r[mask], pa.float64()),
     })
+
+
+def _normalize_rows(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def _grid_group_pairs(g: pa.Table, threshold: float,
+                      id_col: str) -> pa.Table:
+    """Pairs within one unordered block-pair group of the grid."""
+    from .similarity import embedding_matrix
+
+    gi = g.column("gi")[0].as_py()
+    gj = g.column("gj")[0].as_py()
+    ids = g.column(id_col).to_numpy(zero_copy_only=False)
+    mn = _normalize_rows(embedding_matrix(g.column("embedding")))
+    if gi == gj:
+        sims = mn @ mn.T
+        iu = np.triu_indices(len(ids), k=1)
+        r = np.round(sims[iu], 6)
+        mask = r >= threshold
+        xa, xb = ids[iu[0][mask]], ids[iu[1][mask]]
+    else:
+        blk = g.column("blk").to_numpy(zero_copy_only=False)
+        li = np.nonzero(blk == gi)[0]
+        rj = np.nonzero(blk == gj)[0]
+        sims = mn[li] @ mn[rj].T
+        r = np.round(sims, 6)
+        pi, pj = np.nonzero(r >= threshold)
+        xa, xb = ids[li[pi]], ids[rj[pj]]
+        r = r[pi, pj] if len(pi) else np.empty(0)
+        mask = slice(None)
+    a = np.minimum(xa, xb)
+    b = np.maximum(xa, xb)
+    cos = (r[mask] if gi == gj else r)
+    return pa.table({
+        "a": pa.array(a, pa.int64()),
+        "b": pa.array(b, pa.int64()),
+        "cosine": pa.array(np.asarray(cos, dtype=np.float64),
+                           pa.float64()),
+    })
+
+
+def embedding_neardup_blocked(ds, threshold: float = 0.95,
+                              n_blocks: int = 4, id_col: str = "vec_id"):
+    """Exact all-pairs cosine >= threshold, fully distributed.
+
+    Block grid: row i (block = id % n_blocks) is replicated to the
+    n_blocks unordered block-pair groups {min(b,j), max(b,j)}; every
+    unordered row pair co-locates in exactly one group, so no pair is
+    emitted twice and none is missed.  Shuffle volume = n_blocks ×
+    input; per-group memory = 2 blocks ≈ 2·|input|/n_blocks — size
+    n_blocks so that fits a worker.  (See module docstring for why an
+    LSH pre-filter cannot replace this under an exact-threshold
+    oracle.)"""
+    def expand(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        blk = (ids % n_blocks).astype(np.int32)
+        base = t.append_column("blk", pa.array(blk, pa.int32()))
+        parts = []
+        for j in range(n_blocks):
+            parts.append(
+                base.append_column(
+                    "gi", pa.array(np.minimum(blk, j), pa.int32()))
+                .append_column(
+                    "gj", pa.array(np.maximum(blk, j), pa.int32())))
+        return pa.concat_tables(parts)
+
+    grid = ds.map_batches(expand, batch_format="pyarrow")
+    return grid.groupby(["gi", "gj"]).map_groups(
+        lambda g: _grid_group_pairs(g, threshold, id_col),
+        batch_format="pyarrow")
 
 
 # -- clustering (driver-side, provably small pair lists) --------------------

@@ -25,6 +25,28 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def embedding_matrix(col) -> np.ndarray:
+    """list<float> Arrow column -> (n, d) float64 matrix.
+
+    Zero-copy flatten+reshape when the lists are equal-length and
+    null-free (the normal embeddings layout); falls back to to_pylist
+    for ragged input."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.float64)
+    lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+    if col.null_count == 0 and (lens == lens[0]).all():
+        vals = col.flatten().to_numpy(zero_copy_only=False)
+        return vals.reshape(n, int(lens[0])).astype(np.float64,
+                                                    copy=False)
+    return np.array(col.to_pylist(), dtype=np.float64)
+
+
 class BruteForceTopKStage:
     """map_batches actor stage: local top-k per query against one batch."""
 
@@ -38,19 +60,21 @@ class BruteForceTopKStage:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch.column(self.id_col).to_pylist(),
-                         dtype=np.int64)
-        m = _normalize(np.array(batch.column("embedding").to_pylist(),
-                                dtype=np.float64))
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        m = _normalize(embedding_matrix(batch.column("embedding")))
         sims = self.q_mat @ m.T  # (n_queries, batch)
         k = min(self.k, sims.shape[1])
-        top = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        # block-local selection must use the FINAL ranking order
+        # (round(sim, 6) desc, neighbor_id asc), or a tie at the k
+        # boundary can drop the candidate the global reduce would rank
+        rsims = np.round(sims, 6)
         q_out, n_out, s_out = [], [], []
         for qi in range(sims.shape[0]):
-            for j in top[qi]:
+            order = np.lexsort((ids, -rsims[qi]))[:k]
+            for j in order:
                 q_out.append(int(self.q_ids[qi]))
                 n_out.append(int(ids[j]))
-                s_out.append(float(sims[qi, j]))
+                s_out.append(float(rsims[qi, j]))
         return pa.table({
             "query_id": pa.array(q_out, pa.int64()),
             "neighbor_id": pa.array(n_out, pa.int64()),
@@ -106,8 +130,7 @@ class LshBucketStage:
         self.planes = _planes(dim)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        m = np.array(batch.column("embedding").to_pylist(),
-                     dtype=np.float64)
+        m = embedding_matrix(batch.column("embedding"))
         bits = (m @ self.planes.T) > 0
         keys = np.zeros(len(m), dtype=np.int64)
         for b in range(_N_PLANES):

@@ -123,3 +123,22 @@ def test_resume_from_checkpoint(crawl_a, ray_session):
     original = {r["url"] for r in _fetched(out_a, 1)}
     assert resumed == original
     assert not wave0_before.intersection(resumed)
+
+
+def test_resume_after_midwave_crash(ray_session):
+    """A wave that crashed AFTER writing partial pages/frontier output
+    but BEFORE its checkpoint must re-run cleanly on resume: stale
+    partial files are purged, not appended to (no duplicated rows)."""
+    out = "/tmp/crawl_midcrash"
+    clean = "/tmp/crawl_midcrash_ref"
+    m_ref = _run(clean, waves=2)
+    _run(out, waves=2)
+    # simulate the crash: delete wave-1 checkpoint but leave its
+    # (now untrusted) pages + next-frontier files on disk
+    shutil.rmtree(os.path.join(out, "ckpt", "wave=1"))
+    m2 = _run(out, waves=2, resume=True)
+    assert [m["wave"] for m in m2] == [1]
+    assert m2[0]["pages_fetched"] == m_ref[1]["pages_fetched"]
+    got = sorted(r["url"] for r in _fetched(out, 1))
+    want = sorted(r["url"] for r in _fetched(clean, 1))
+    assert got == want  # no duplicates from stale partial files

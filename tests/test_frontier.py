@@ -117,10 +117,21 @@ def test_robots_parser():
            "User-agent: *\n"
            "Disallow: /doc/7\n"
            "Disallow:\n")  # empty Disallow = allow all (ignored)
-    assert parse_robots_txt(txt) == ["/doc/7"]
-    assert parse_robots_txt(txt, "special-bot") == ["/"]
-    assert parse_robots_txt(txt, "a") == ["/x/", "/y"]
-    assert parse_robots_txt(txt, "b") == ["/x/", "/y"]
+    assert parse_robots_txt(txt) == [("/doc/7", False)]
+    assert parse_robots_txt(txt, "special-bot") == [("/", False)]
+    assert parse_robots_txt(txt, "a") == [("/x/", False), ("/y", False),
+                                          ("/x/ok", True)]
+    assert parse_robots_txt(txt, "b") == parse_robots_txt(txt, "a")
+    # Allow carve-outs: longest-match precedence, tie goes to Allow
+    from nipper_ray.frontier.robots import RobotsRules
+
+    rr = RobotsRules(parse_robots_txt(txt, "a"))
+    assert not rr.allowed("/x/secret")
+    assert rr.allowed("/x/ok/page")      # Allow /x/ok beats Disallow /x/
+    assert not rr.allowed("/y/anything")
+    assert rr.allowed("/z")
+    tie = RobotsRules([("/p", False), ("/p", True)])
+    assert tie.allowed("/page"[:2] + "x") and tie.allowed("/p")
     rc = RobotsCache()
     host = "h1.example.com"
     from nipper_ray.frontier.hashing import xxh64_str

@@ -121,3 +121,165 @@ def test_readability_rustwiki():
 def test_readability_deterministic():
     h = load_fixture("page.html")
     assert extract_article(h) == extract_article(h)
+
+
+# -- vectorized dedup kernels: differentials + fixed-vector pins ------------
+def test_shingle_hashes_batch_matches_scalar_xxh64():
+    """Fast path (one lane-batched xxh64 call) vs slow path (scalar
+    xxh64 per shingle string) — bit-identical."""
+    from nipper_ray.frontier.hashing import xxh64_str
+    from nipper_ray.ops.dedup import _WORD_RE, shingle_hashes_batch
+
+    texts = ["the quick brown fox jumps over the dog",
+             "", "one two", "alpha beta gamma delta alpha beta"]
+    all_h, offsets = shingle_hashes_batch(texts, n=3)
+    for i, t in enumerate(texts):
+        words = _WORD_RE.findall(t.lower())
+        want = [xxh64_str(" ".join(words[j:j + 3]))
+                for j in range(max(0, len(words) - 2))]
+        got = all_h[offsets[i]:offsets[i + 1]].tolist()
+        assert got == want, i
+
+
+def test_shingle_short_doc_dropped_vs_fallback():
+    from nipper_ray.ops.dedup import shingle_hashes_batch
+
+    short = ["one two"]
+    h0, off0 = shingle_hashes_batch(short, n=3)
+    assert len(h0) == 0 and off0.tolist() == [0, 0]
+    h1, off1 = shingle_hashes_batch(short, n=3, short_doc_fallback=True)
+    assert len(h1) == 1  # legacy whole-text shingle
+
+
+def test_minhash_fixed_vector():
+    """Pin the first permutation lanes of a known signature so a silent
+    change to the shingle hash or permutation constants is caught."""
+    sigs = minhash_signatures_batch(
+        ["the quick brown fox jumps over the lazy dog"], n=3)
+    assert sigs.shape == (1, 64)
+    # recompute independently: min over multiply-shift of shingle hashes
+    from nipper_ray.frontier.hashing import xxh64_str
+    from nipper_ray.ops.dedup import _AS, _BS
+
+    words = "the quick brown fox jumps over the lazy dog".split()
+    hs = np.array([xxh64_str(" ".join(words[j:j + 3]))
+                   for j in range(len(words) - 2)], dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        want = ((hs[:, None] ^ _BS[None, :]) * _AS[None, :]).min(axis=0)
+    assert (sigs[0] == want).all()
+
+
+def test_sigs_chunking_matches_unchunked():
+    """Chunked reduceat (bounded memory) equals per-doc computation."""
+    import nipper_ray.ops.dedup as dd
+
+    texts = ["word%d " % (i % 7) * (20 + i) for i in range(30)]
+    full = dd.minhash_signatures_batch(texts, n=3)
+    old_chunk = dd._SIG_CHUNK
+    try:
+        dd._SIG_CHUNK = 64  # force many tiny chunks
+        small = dd.minhash_signatures_batch(texts, n=3)
+    finally:
+        dd._SIG_CHUNK = old_chunk
+    assert (full == small).all()
+
+
+def test_simhash_batch_matches_reference():
+    """Vectorized batch simhash vs a per-word reference implementation."""
+    from nipper_ray.frontier.hashing import xxh64_str
+    from nipper_ray.ops.dedup import _WORD_RE, simhash64_batch
+
+    texts = ["the quick brown fox", "", "alpha beta alpha", "x"]
+    got = simhash64_batch(texts)
+    for i, t in enumerate(texts):
+        acc = np.zeros(64, dtype=np.int64)
+        for w in _WORD_RE.findall(t.lower()):
+            h = xxh64_str(w)
+            for b in range(64):
+                acc[b] += 1 if (h >> b) & 1 else -1
+        want = 0
+        for b in range(64):
+            if acc[b] > 0:
+                want |= 1 << b
+        assert int(got[i]) == want, i
+
+
+def test_lsh_bands_stage_vectorized_keys():
+    """Same signature chunk -> same band key; different chunk -> nearly
+    surely different; band keys equal scalar xxh64 of the chunk bytes."""
+    from nipper_ray.frontier.hashing import xxh64
+    from nipper_ray.ops.dedup import lsh_bands_stage, minhash_stage
+
+    batch = pa.table({"doc_id": [1, 2, 3],
+                      "text": ["same text here ok then fine",
+                               "same text here ok then fine",
+                               "another doc entirely different now"]})
+    bands = lsh_bands_stage(minhash_stage(batch, n=3), n_bands=16)
+    assert len(bands) == 48
+    t = bands.to_pydict()
+    key_of = {}
+    for bid, key, did in zip(t["band_id"], t["band_key"], t["doc_id"]):
+        key_of[(did, bid)] = key
+    for b in range(16):
+        assert key_of[(1, b)] == key_of[(2, b)]  # identical docs
+    # spot-check one key against scalar xxh64 of the raw chunk bytes
+    sigs = minhash_stage(batch, n=3).column("minhash").to_pylist()
+    chunk = np.array(sigs[0][0:4], dtype=np.uint64).tobytes()
+    assert key_of[(1, 0)] == xxh64(chunk)
+
+
+def test_embedding_grid_matches_allpairs(ray_session):
+    """Block-grid distributed near-dup == single-table all-pairs kernel."""
+    import ray.data as rd
+
+    from nipper_ray.ops.dedup import (embedding_neardup_blocked,
+                                      embedding_neardup_pairs)
+
+    rng = np.random.RandomState(7)
+    n, d = 120, 16
+    base = rng.standard_normal((n, d))
+    base[50] = base[10] * 1.001  # planted near-dup
+    t = pa.table({"vec_id": pa.array(range(n), pa.int64()),
+                  "embedding": pa.array([list(map(float, r)) for r in base],
+                                        pa.list_(pa.float64()))})
+    want = embedding_neardup_pairs(t, threshold=0.5)
+    got = embedding_neardup_blocked(rd.from_arrow(t), threshold=0.5,
+                                    n_blocks=3).to_pandas()
+    wp = sorted(zip(want.column("a").to_pylist(),
+                    want.column("b").to_pylist()))
+    gp = sorted(zip(got["a"], got["b"]))
+    assert wp == gp and len(wp) > 0
+
+
+def test_minhash_neardup_pipeline_matches_bruteforce(ray_session):
+    """Distributed minhash pipeline == brute-force exact Jaccard join
+    on a corpus with planted near-dups."""
+    import ray.data as rd
+
+    from nipper_ray.ops.dedup import minhash_neardup, ngram_jaccard
+
+    docs = []
+    for i in range(40):
+        base = ("alpha beta gamma delta epsilon zeta eta theta "
+                "iota kappa word%d " % i) * 6
+        docs.append(base)
+    docs[20] = docs[5] + "tiny tail change"          # near-dup of 5
+    docs[33] = docs[7]                               # exact dup of 7
+    docs.append("too short")                         # < 3 words w/ n=3? no: 2 words
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+    got = minhash_neardup(rd.from_arrow(t), threshold=0.6, n=3,
+                          num_partitions=2).to_pandas()
+    gp = sorted(zip(got["a"], got["b"]))
+    want = []
+    for i in range(len(docs)):
+        wi = docs[i].split()
+        if len(wi) < 3:
+            continue
+        for j in range(i + 1, len(docs)):
+            if len(docs[j].split()) < 3:
+                continue
+            if ngram_jaccard(docs[i], docs[j], 3) >= 0.6:
+                want.append((i, j))
+    assert gp == sorted(want)
+    assert (5, 20) in gp and (7, 33) in gp
