@@ -26,6 +26,94 @@ _FIXTURES = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 STOPWORDS_SQL = "('the','a','an','and','or','of','to','in','is','are'," \
     "'was','were','be','been','it','this','that')"
 
+# Golden (title, n_links) for the 5 reference fixture pages embedded in
+# the synthetic corpus.  Values are pinned byte-exact by the round-1
+# reference-parity tests (tests/test_extract_e2e.py); the 500+ synthetic
+# rows of the extract oracle are derived INDEPENDENTLY in SQL from the
+# corpus generation rule (sources/synth.py gen_page_html).
+_FIXTURE_EXTRACT = (
+    ("page.html", "\n            Provok.in\n        ", 5),
+    ("page2.html", "Tests for siblings", 0),
+    ("hacker_news.html", "Hacker News", 226),
+    ("rustwiki.html", "Rust (programming language) - Wikipedia", 863),
+    ("wisburg.html", "通胀三部曲之一：哄抢卫生纸对通胀的影响大吗？ - 智堡 Wisburg", 38),
+)
+
+
+def _sql_str(s: str) -> str:
+    """SQL string literal (single-quote escape; newlines via chr())."""
+    out = s.replace("'", "''")
+    if "\n" in out:
+        parts = out.split("\n")
+        return " || chr(10) || ".join("'%s'" % p for p in parts)
+    return "'%s'" % out
+
+
+# URL / host / title of synthetic page doc_id, as SQL over `documents`
+# — mirrors sources/synth.py host_for/page_url/gen_page_html exactly.
+_SYNTH_HOST_SQL = """
+    CASE WHEN doc_id % 4 = 0 THEN 'h0.example.com'
+         ELSE 'h' || CAST(1 + (doc_id * 2654435761) % 15 AS VARCHAR)
+              || '.example.com' END"""
+_SYNTH_TITLE_SQL = ("'Doc ' || CAST(doc_id AS VARCHAR) || ' — ' || "
+                    "substr(sha256('page:' || CAST(doc_id AS VARCHAR)),"
+                    " 1, 12)")
+
+
+def _extract_oracle_sql() -> str:
+    fixture_rows = ",\n              ".join(
+        "('https://fixtures.example.com/%s', %s, CAST(%d AS BIGINT))"
+        % (name, _sql_str(title), n)
+        for name, title, n in _FIXTURE_EXTRACT)
+    return """
+        SELECT 'https://' || %s || '/doc/' || CAST(doc_id AS VARCHAR)
+                   AS url,
+               %s AS title,
+               CAST(11 AS BIGINT) AS n_links
+        FROM documents
+        UNION ALL
+        SELECT * FROM (VALUES
+              %s) fx(url, title, n_links)
+    """ % (_SYNTH_HOST_SQL, _SYNTH_TITLE_SQL, fixture_rows)
+
+
+def _crawl_wave_oracle_sql() -> str:
+    """Wave-0 fetch set under seeds range(0,120,3), per-host budget 30,
+    wave budget 100: seeds -> robots filter -> per-host top-B by
+    (priority desc, url asc) -> global (priority desc, url asc) cap.
+    All seeds share priority (depth 0), so ordering reduces to url asc.
+    The per-host robots digit (synthetic REP file, frontier/robots.py:
+    Disallow /doc/<xxh64(host)%%10>) is precomputed here — a pure
+    function of the 16 fixed host names."""
+    from nipper_ray.frontier.hashing import xxh64_str
+
+    digit_rows = ", ".join(
+        "('h%d.example.com', '%d')" % (k, xxh64_str(
+            "h%d.example.com" % k) % 10) for k in range(16))
+    return """
+        WITH seeds AS (
+            SELECT CAST(x AS BIGINT) AS doc_id
+            FROM generate_series(0, 119, 3) s(x)),
+        u AS (
+            SELECT doc_id, %s AS host,
+                   'https://' || %s || '/doc/'
+                       || CAST(doc_id AS VARCHAR) AS url,
+                   %s AS title
+            FROM seeds),
+        hd AS (SELECT * FROM (VALUES %s) t(host, digit)),
+        allowed AS (
+            SELECT u.* FROM u JOIN hd ON u.host = hd.host
+            WHERE substr(CAST(doc_id AS VARCHAR), 1, 1) <> hd.digit),
+        pol AS (
+            SELECT *, row_number() OVER (PARTITION BY host
+                                         ORDER BY url) AS rn
+            FROM allowed)
+        SELECT url, host, CAST(0 AS INTEGER) AS depth, title
+        FROM pol WHERE rn <= 30
+        ORDER BY url LIMIT 100
+    """ % (_SYNTH_HOST_SQL, _SYNTH_HOST_SQL, _SYNTH_TITLE_SQL,
+           digit_rows)
+
 
 def _rd():
     import ray.data as rd
@@ -120,6 +208,98 @@ def q_segment_revenue(sf_dir: str):
     agg = partials.groupby("c_mktsegment").aggregate(
         Sum("revenue", alias_name="revenue"),
         Sum("n_orders", alias_name="n_orders"))
+    return agg.map_batches(
+        lambda df: df.assign(revenue=df.revenue.round(2)),
+        batch_format="pandas")
+
+
+def q_region_revenue(sf_dir: str):
+    """TPC-H-Q5-shaped multi-way join: lineitem ⋈ orders is a
+    HASH-PARTITIONED large-large join (ops/join.py hash_join — both
+    sides shuffle, no broadcast leg); customer/supplier/nation/region
+    are broadcast dict lookups.  Selectivity is pushed below the
+    shuffle: both sides are column-pruned and pre-filtered (orders to
+    the 1996 window + ASIA customers, lineitem to ASIA suppliers)
+    before any byte moves."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    from nipper_ray.ops.join import hash_join
+
+    rd = _rd()
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    reg = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    region_name = dict(zip(reg.column("r_regionkey").to_pylist(),
+                           reg.column("r_name").to_pylist()))
+    asia_name = {
+        nk: name
+        for nk, name, rk in zip(nat.column("n_nationkey").to_pylist(),
+                                nat.column("n_name").to_pylist(),
+                                nat.column("n_regionkey").to_pylist())
+        if region_name[rk] == "ASIA"}
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    c_nat = dict(zip(cust.column("c_custkey").to_pylist(),
+                     cust.column("c_nationkey").to_pylist()))
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey"])
+    s_nat = dict(zip(supp.column("s_suppkey").to_pylist(),
+                     supp.column("s_nationkey").to_pylist()))
+
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1997-01-01", "us"))
+
+    def prep_orders(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate")
+        t = t.filter(pc.and_(pc.greater_equal(d, lo), pc.less(d, hi)))
+        cn = pa.array((c_nat.get(k)
+                       for k in t.column("o_custkey").to_pylist()),
+                      pa.int64())
+        t = t.append_column("c_nation", cn)
+        keep = pc.is_in(t.column("c_nation"),
+                        value_set=pa.array(list(asia_name), pa.int64()))
+        return t.filter(keep).select(["o_orderkey", "c_nation"])
+
+    def prep_line(t: pa.Table) -> pa.Table:
+        sn = pa.array((s_nat.get(k)
+                       for k in t.column("l_suppkey").to_pylist()),
+                      pa.int64())
+        t = t.append_column("s_nation", sn)
+        keep = pc.is_in(t.column("s_nation"),
+                        value_set=pa.array(list(asia_name), pa.int64()))
+        t = t.filter(keep)
+        revenue = pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return pa.table({"l_orderkey": t.column("l_orderkey"),
+                         "s_nation": t.column("s_nation"),
+                         "revenue": revenue})
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(prep_orders, batch_format="pyarrow")
+    line = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"]
+    ).map_batches(prep_line, batch_format="pyarrow")
+    j = hash_join(line, orders, on=("l_orderkey",),
+                  right_on=("o_orderkey",), num_partitions=8)
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("c_nation"),
+                              t.column("s_nation")))
+        names = [asia_name[k]
+                 for k in t.column("s_nation").to_pylist()]
+        df = t.to_pandas()
+        df["n_name"] = names
+        g = df.groupby("n_name", as_index=False).agg(
+            revenue=("revenue", "sum"))
+        return pa.Table.from_pandas(g)
+
+    agg = j.map_batches(partial, batch_format="pyarrow").groupby(
+        "n_name").aggregate(Sum("revenue", alias_name="revenue"))
     return agg.map_batches(
         lambda df: df.assign(revenue=df.revenue.round(2)),
         batch_format="pandas")
@@ -465,6 +645,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": q_pricing_summary,
         "segment_revenue": q_segment_revenue,
+        "region_revenue": q_region_revenue,
         "top_users": q_top_users,
         "hourly_windows": q_hourly_windows,
         "session_windows": q_session_windows,
@@ -507,6 +688,19 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
+        """,
+        "region_revenue": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey
+              AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
         """,
         "top_users": """
             SELECT user_id, count(*) AS n_clicks,
@@ -624,7 +818,13 @@ def oracle_sql() -> dict[str, str]:
             FROM s QUALIFY rank <= 10
             ORDER BY query_id, rank
         """,
-        # langid / simhash / ann_lsh / extract / media_features:
+        # extract / crawl_wave: the synthetic corpus is a deterministic
+        # function of `documents` (sources/synth.py), so the flagship
+        # nipper-semantics extraction and the wave-0 crawl selection are
+        # independently re-derivable in SQL.
+        "extract": _extract_oracle_sql(),
+        "crawl_wave": _crawl_wave_oracle_sql(),
+        # langid / simhash / ann_lsh / readability / media_features:
         # intentionally no oracle (heuristic / approximate / non-SQL) ->
         # driver records rows-only checks.
     }
