@@ -68,6 +68,12 @@ class Document:
     def __init__(self, html: str = ""):
         self.tree = parse_document(html)
 
+    @property
+    def errors(self) -> list:
+        """Recoverable parse errors accumulated during the parse
+        (reference: Document.errors, document.rs:24,79-81)."""
+        return self.tree.errors
+
     # -- queries (traversal.rs:15-58) ----------------------------------
     def select(self, sel: str) -> "Selection":
         compiled = compile_selector(sel)  # raises SelectorError

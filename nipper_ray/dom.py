@@ -73,10 +73,13 @@ class Node:
 class Tree:
     """Arena tree; root is always id 0 (a DOCUMENT node)."""
 
-    __slots__ = ("nodes",)
+    __slots__ = ("nodes", "errors")
 
     def __init__(self):
         self.nodes = []
+        # recoverable parse errors accumulated by the tree builder
+        # (reference: Document.errors, document.rs:24,79-81)
+        self.errors = []
         self.new_node(DOCUMENT)
 
     # -- construction -----------------------------------------------------
@@ -100,6 +103,18 @@ class Tree:
     def new_comment(self, contents: str) -> Node:
         n = self.new_node(COMMENT)
         n.data = contents
+        return n
+
+    def new_pi(self, target: str, contents: str) -> Node:
+        """ProcessingInstruction node (reference create_pi,
+        document.rs:152-157; NodeData::ProcessingInstruction,
+        dom_tree.rs:980-983).  The HTML tokenizer never emits PIs
+        (``<?`` becomes a bogus comment per spec), but the node kind is
+        part of the reference data model: constructible, serialized as
+        ``<?target contents>``, skipped by text()."""
+        n = self.new_node(PI)
+        n.data = target
+        n.data2 = contents
         return n
 
     # -- linkage ----------------------------------------------------------

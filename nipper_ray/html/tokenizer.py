@@ -154,6 +154,8 @@ class Tokenizer:
         return i
 
     def _bogus_comment(self, start: int) -> int:
+        if hasattr(self.sink, "parse_error"):
+            self.sink.parse_error("bogus-comment")
         s = self.s
         end = s.find(">", start)
         if end < 0:

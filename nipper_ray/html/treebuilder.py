@@ -176,6 +176,13 @@ class TreeBuilder:
         self.tok = None
 
     # ------------------------------------------------------------------
+    def parse_error(self, msg: str) -> None:
+        """Accumulate a recoverable parse error on the tree (reference:
+        TreeSink::parse_error -> Document.errors, document.rs:79-81).
+        Recovery itself is unchanged — errors are observational."""
+        self.tree.errors.append(msg)
+
+    # ------------------------------------------------------------------
     def parse(self, html: str) -> Tree:
         self.tok = Tokenizer(self, html)
         if self.fragment_ctx is not None:
@@ -277,6 +284,7 @@ class TreeBuilder:
         target = override if override is not None else self.open[-1]
         tnode = self.tree.nodes[target]
         if (self.foster and tnode.ns == HTML_NS and tnode.name in TABLEISH):
+            self.parse_error("foster-parenting")
             nodes = self.tree.nodes
             last_table = -1
             last_template = -1
@@ -454,6 +462,7 @@ class TreeBuilder:
                         for e in self.afe)):
             self.open.pop()
             return
+        self.parse_error("misnested-tag-</%s>" % name)
         for _ in range(8):
             fmt_entry = None
             for i in range(len(self.afe) - 1, -1, -1):
@@ -557,6 +566,7 @@ class TreeBuilder:
                     self.open.pop()
                 return
             if self._is_special(n):
+                self.parse_error("unexpected-end-tag-</%s>" % name)
                 return
 
     # reset insertion mode ---------------------------------------------
@@ -630,7 +640,8 @@ class TreeBuilder:
             d.data2 = (public, system)
             self.tree.append_child(0, d.id)
             self.mode = BEFORE_HTML
-        # otherwise: parse error, ignore
+        else:  # parse error, ignore the token
+            self.parse_error("unexpected-doctype")
 
     def process_comment(self, text):
         self.ignore_lf = False

@@ -155,3 +155,50 @@ def test_replace_with_html_multi_node_content():
     d.select("#a").replace_with_html("<li>x</li><li>y</li>")
     assert d.select("ul li").length() == 3
     assert d.select("ul").text() == "xy2"
+
+
+# -- data-model parity: PI nodes + doc.errors (reference document.rs) -------
+def test_pi_node_roundtrip():
+    """create_pi parity (reference document.rs:152-157): constructible,
+    serialized as <?target contents>, invisible to text()."""
+    from nipper_ray.api import Document
+    from nipper_ray.dom import PI
+
+    doc = Document("<html><body><p>hi</p></body></html>")
+    t = doc.tree
+    body = [n.id for n in t.nodes if n.kind == 4 and n.name == "body"][0]
+    pi = t.new_pi("xml-stylesheet", 'href="a.css"')
+    t.append_child(body, pi.id)
+    assert t.nodes[pi.id].kind == PI
+    assert '<?xml-stylesheet href="a.css">' in doc.html()
+    assert doc.select("body").text() == "hi"  # PI skipped by text()
+
+
+def test_parse_errors_accumulate():
+    from nipper_ray.api import Document
+
+    clean = Document("<!DOCTYPE html><html><head><title>t</title></head>"
+                     "<body><p>ok</p></body></html>")
+    assert clean.errors == []
+    # stray doctype + misnested formatting + bogus comment + table text
+    messy = Document("<!DOCTYPE html><b><i>x</b>y</i>"
+                     "<!DOCTYPE html>"
+                     "<?php echo 1 ?>"
+                     "<table>loose<tr><td>c</td></tr></table>"
+                     "<div></span></div>")
+    msgs = set(messy.errors)
+    assert any(m.startswith("misnested-tag") for m in msgs)
+    assert "unexpected-doctype" in msgs
+    assert "bogus-comment" in msgs
+    assert "foster-parenting" in msgs
+    assert any(m.startswith("unexpected-end-tag") for m in msgs)
+
+
+def test_parse_errors_do_not_change_recovery():
+    """Accumulation is observational: the parse tree is byte-identical
+    to before (all 42 goldens still pass = the real guard)."""
+    from nipper_ray.api import Document
+
+    d = Document("<b><i>x</b>y</i>")
+    assert len(d.errors) >= 1
+    assert "<b><i>x</i></b><i>y</i>" in d.html()
