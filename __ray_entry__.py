@@ -153,15 +153,24 @@ def q_pricing_summary(sf_dir: str):
     cutoff = pa.scalar(np.datetime64("1998-09-02", "us"))
 
     def partial(t: pa.Table) -> pa.Table:
+        # Arrow-native batch-local pre-aggregation: filter + compute +
+        # hash group_by without leaving the Arrow memory format
         t = t.filter(pc.less_equal(t.column("l_shipdate"), cutoff))
-        df = t.to_pandas()
-        df["disc_price"] = df.l_extendedprice * (1.0 - df.l_discount)
-        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            sum_qty=("l_quantity", "sum"),
-            sum_base_price=("l_extendedprice", "sum"),
-            sum_disc_price=("disc_price", "sum"),
-            count_order=("l_quantity", "count"))
-        return pa.Table.from_pandas(g)
+        disc = pc.multiply(t.column("l_extendedprice"),
+                           pc.subtract(pa.scalar(1.0),
+                                       t.column("l_discount")))
+        g = pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            "l_linestatus": t.column("l_linestatus"),
+            "l_quantity": t.column("l_quantity"),
+            "l_extendedprice": t.column("l_extendedprice"),
+            "disc_price": disc,
+        }).group_by(["l_returnflag", "l_linestatus"]).aggregate([
+            ("l_quantity", "sum"), ("l_extendedprice", "sum"),
+            ("disc_price", "sum"), ("l_quantity", "count")])
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty",
+             "sum_base_price", "sum_disc_price", "count_order"])
 
     partials = ds.map_batches(partial, batch_format="pyarrow",
                               batch_size=32768)
@@ -457,6 +466,30 @@ def q_quality(sf_dir: str):
     return ds.map_batches(stats, batch_format="pyarrow")
 
 
+def q_normalize(sf_dir: str):
+    """Text normalization (NFC + whitespace squeeze + trim)."""
+    from nipper_ray.ops.textstats import normalize_text
+
+    rd = _rd()
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    out = ds.map_batches(normalize_text, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "norm_text"])
+
+
+def q_curate(sf_dir: str):
+    """Composed curation pipeline: lang filter + token bounds +
+    stopword floor (cheap row filters first), then exact-dedup keeper
+    (the single shuffle) — pipelines/curate.py."""
+    from nipper_ray.pipelines.curate import curate
+
+    rd = _rd()
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text", "lang"])
+    return curate(ds, langs=("en",), min_tokens=30, max_tokens=120,
+                  min_stop_ppm=50_000)
+
+
 def q_fingerprint(sf_dir: str):
     from nipper_ray.ops.textstats import fingerprint
 
@@ -653,6 +686,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_types": q_distinct_types,
         "token_stats": q_token_stats,
         "quality": q_quality,
+        "normalize": q_normalize,
+        "curate": q_curate,
         "fingerprint": q_fingerprint,
         "langid": q_langid,
         "exact_dedup": q_exact_dedup,
@@ -768,6 +803,35 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": """
             SELECT doc_id, md5(text) AS fp_md5 FROM documents
         """,
+        "normalize": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(nfc_normalize(text),
+                                       '[\t\n\f\r ]+', ' ', 'g'),
+                        ' ') AS norm_text
+            FROM documents
+        """,
+        "curate": """
+            WITH stats AS (
+                SELECT doc_id, md5(text) AS fp_md5,
+                       len(regexp_extract_all(text, '[A-Za-z0-9_]+'))
+                           AS n_tokens,
+                       CASE WHEN len(regexp_extract_all(
+                                text, '[A-Za-z0-9_]+')) = 0 THEN 0
+                            ELSE len(list_filter(
+                                regexp_extract_all(text,
+                                                   '[A-Za-z0-9_]+'),
+                                x -> lower(x) IN %s)) * 1000000
+                              // len(regexp_extract_all(
+                                     text, '[A-Za-z0-9_]+')) END
+                           AS stop_ppm
+                FROM documents WHERE lang = 'en'),
+            kept AS (
+                SELECT * FROM stats
+                WHERE n_tokens BETWEEN 30 AND 120
+                  AND stop_ppm >= 50000)
+            SELECT min(doc_id) AS doc_id, min(n_tokens) AS n_tokens
+            FROM kept GROUP BY fp_md5
+        """ % STOPWORDS_SQL,
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies
             FROM documents GROUP BY md5(text)

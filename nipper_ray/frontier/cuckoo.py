@@ -159,6 +159,27 @@ class CuckooFilter:
             out[idx] = True
         return out
 
+    def contains_many(self, hashes) -> np.ndarray:
+        """Vectorized membership probe (no insert) — same fingerprint /
+        bucket math as check_and_add_many."""
+        h = np.asarray(hashes, dtype=np.uint64)
+        if len(h) == 0:
+            return np.zeros(0, dtype=bool)
+        fp = ((h >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.uint16)
+        fp[fp == 0] = 1
+        mask64 = np.uint64(self.mask)
+        i1 = (h & mask64).astype(np.int64)
+        alt = _alt_xor_table()[fp.astype(np.int64)]
+        i2 = ((i1.astype(np.uint64) ^ alt) & mask64).astype(np.int64)
+        hit = (self.table[i1] == fp[:, None]).any(axis=1)
+        hit |= (self.table[i2] == fp[:, None]).any(axis=1)
+        if self.overflow:
+            ov = self.overflow
+            for idx in np.nonzero(~hit)[0]:
+                if int(h[idx]) in ov:
+                    hit[idx] = True
+        return hit
+
     def __len__(self):
         return self.count
 

@@ -32,11 +32,11 @@ def fetch_robots_txt(host: str) -> str:
     ) % (host, digit)
 
 
-def parse_robots_txt(text: str, agent: str = "*"):
-    """Returns the rule list for *agent* (falling back to the ``*``
-    group) as ``[(prefix, is_allow), ...]``.  An empty ``Disallow:``
-    clears nothing — it is simply no rule (allow-all by default)."""
+def _parse_groups(text: str):
+    """All agent groups: ({agent: [(prefix, is_allow)]},
+    {agent: crawl_delay_seconds})."""
     groups = {}  # agent(lower) -> [(prefix, is_allow)]
+    delays = {}  # agent(lower) -> float seconds
     current_agents = []
     last_was_agent = False
     for raw in text.splitlines():
@@ -59,12 +59,43 @@ def parse_robots_txt(text: str, agent: str = "*"):
                 for a in current_agents:
                     groups.setdefault(a, []).append(
                         (value, field == "allow"))
+        elif field == "crawl-delay":
+            last_was_agent = False
+            try:
+                d = float(value)
+            except ValueError:
+                continue
+            for a in current_agents:
+                delays[a] = d
         else:
             last_was_agent = False
+    return groups, delays
+
+
+def parse_robots_txt(text: str, agent: str = "*"):
+    """Returns the rule list for *agent* (falling back to the ``*``
+    group) as ``[(prefix, is_allow), ...]``.  An empty ``Disallow:``
+    clears nothing — it is simply no rule (allow-all by default)."""
+    groups, _ = _parse_groups(text)
     agent = agent.lower()
     if agent in groups:
         return groups[agent]
     return groups.get("*", [])
+
+
+def crawl_delay(text: str, agent: str = "*"):
+    """``Crawl-delay`` seconds for *agent* (``*`` fallback), or None.
+    The sandbox fetcher is synthetic so the delay is surfaced, not
+    enforced; a production fetch pool would feed it into per-host
+    request pacing (frontier/politeness.py budgets are the wave-level
+    stand-in)."""
+    groups, delays = _parse_groups(text)
+    agent = agent.lower()
+    if agent in delays:
+        return delays[agent]
+    if agent in groups:  # agent-specific group exists without a delay
+        return None
+    return delays.get("*")
 
 
 class RobotsRules:

@@ -276,7 +276,15 @@ class CrawlJob:
         keep = ("url", "host", "depth", "priority", "warc_ts", "fetch_ok")
         if self.use_actors:
             # actor-pool shape: the right fit for long-running cluster
-            # crawls where pool ramp-up amortizes
+            # crawls where pool ramp-up amortizes.
+            # Caveat (ray issue 53727): fn_constructor_kwargs values that
+            # are ObjectRefs (texts_ref) or actor handles (shard_handles)
+            # are pinned in the object store; if that object is lost on a
+            # node failure, actor RESTART fails even though fresh tasks
+            # would succeed.  Handles/refs here are driver-owned (the
+            # driver keeps them alive for the whole job), so restart only
+            # breaks if the driver dies — at which point the wave re-runs
+            # from the checkpoint anyway (see state/checkpoint.py).
             ds = ds.map_batches(RobotsFilterStage, batch_format="pyarrow",
                                 concurrency=self.pool_size,
                                 num_cpus=self.actor_cpus)

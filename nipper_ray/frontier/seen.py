@@ -42,8 +42,7 @@ class SeenShard:
         return self.filter.check_and_add_many(hashes)
 
     def contains(self, hashes: np.ndarray) -> np.ndarray:
-        return np.array([self.filter.contains_hash(int(h)) for h in hashes],
-                        dtype=bool)
+        return self.filter.contains_many(hashes)
 
     def snapshot(self) -> bytes:
         return self.filter.snapshot()

@@ -22,6 +22,30 @@ _STOPWORDS = frozenset(
     "the a an and or of to in is are was were be been it this that".split())
 
 
+def normalize_text(batch: pa.Table, text_col: str = "text",
+                   out_col: str = "norm_text") -> pa.Table:
+    """Text cleaning for training data: Unicode NFC + ASCII-whitespace
+    squeeze + space trim.  (No case folding: locale-dependent
+    lowercasing — Turkish dotted-I, Greek final sigma — differs between
+    runtimes, so a canonicalization op that must byte-match an oracle
+    avoids it.  The whitespace class is the explicit ASCII set, not
+    ``\\s``, because Python-re ``\\s`` is Unicode-wide while RE2's is
+    ASCII-only.)  Mirrors the SQL:
+    trim(regexp_replace(nfc_normalize(text), '[\\t\\n\\f\\r ]+', ' ',
+    'g'), ' ')."""
+    import unicodedata
+
+    texts = batch.column(text_col).to_pylist()
+    out = [
+        _WS_RUN_RE.sub(" ", unicodedata.normalize("NFC", t or ""))
+        .strip(" ")
+        for t in texts]
+    return batch.append_column(out_col, pa.array(out, pa.string()))
+
+
+_WS_RUN_RE = re.compile(r"[\t\n\f\r ]+")
+
+
 def token_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     texts = batch.column(text_col).to_pylist()
     n_tokens = [len(_TOKEN_RE.findall(t or "")) for t in texts]

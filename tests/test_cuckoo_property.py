@@ -61,3 +61,19 @@ def test_scalar_batch_membership_agree(hs):
     vector.check_and_add_many(hs)
     for h in hs:
         assert scalar.contains_hash(h) and vector.contains_hash(h)
+
+
+def test_contains_many_matches_scalar():
+    import numpy as np
+
+    from nipper_ray.frontier.cuckoo import CuckooFilter
+
+    f = CuckooFilter(256)  # tiny -> forces overflow too
+    rng = np.random.RandomState(3)
+    hs = rng.randint(0, 2**63, size=600, dtype=np.int64).astype(np.uint64)
+    f.check_and_add_many(hs[:400])
+    probe = np.concatenate([hs[:100], hs[400:]])
+    got = f.contains_many(probe)
+    want = np.array([f.contains_hash(int(h)) for h in probe], dtype=bool)
+    assert (got == want).all()
+    assert got[:100].all()  # inserted ones always found

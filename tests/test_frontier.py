@@ -142,3 +142,22 @@ def test_robots_parser():
     assert rc.allowed(host, "/doc/%d" % ((d + 1) % 10))
     assert not rc.allowed(host, "/private/x")
     assert rc.allowed(host, "/other")
+
+
+def test_robots_crawl_delay():
+    from nipper_ray.frontier.robots import crawl_delay
+
+    txt = ("User-agent: slowbot\n"
+           "Crawl-delay: 10\n"
+           "Disallow: /x\n"
+           "\n"
+           "User-agent: plainbot\n"
+           "Disallow: /y\n"
+           "\n"
+           "User-agent: *\n"
+           "Crawl-delay: 1.5\n")
+    assert crawl_delay(txt, "slowbot") == 10.0
+    # agent has its own group with no delay -> no * fallback
+    assert crawl_delay(txt, "plainbot") is None
+    assert crawl_delay(txt, "unknown") == 1.5
+    assert crawl_delay("User-agent: *\nCrawl-delay: nope\n") is None
