@@ -77,11 +77,74 @@ def _extract_oracle_sql() -> str:
     """ % (_SYNTH_HOST_SQL, _SYNTH_TITLE_SQL, fixture_rows)
 
 
+# Golden readability digests for the 5 fixture pages (title,
+# md5(article_text), n_chars) — pinned by tests/test_ops.py
+# readability tests; synthetic rows are derived independently in SQL.
+_FIXTURE_READABILITY = (
+    ("page.html", "Provok.in",
+     "60c84f83afd1d7f11ebe7ce417373c18", 218),
+    ("page2.html", "Tests for siblings",
+     "d41d8cd98f00b204e9800998ecf8427e", 0),
+    ("hacker_news.html", "Hacker News",
+     "8e304daf1838896fc0645381ee7dae7f", 4063),
+    ("rustwiki.html", "Rust (programming language) - Wikipedia",
+     "6a6a3438b24696f84e0457ea07aade6d", 27467),
+    ("wisburg.html", "通胀三部曲之一：哄抢卫生纸对通胀的影响大吗？ - 智堡 Wisburg",
+     "91851ac105f88388b9931b0ebe37dccd", 5636),
+)
+
+
+def _readability_oracle_sql() -> str:
+    """Synthetic article_text == 'Document N' + '\\n    '-joined
+    400-char chunks of the doc text (the <h1> + <p> paragraph layout of
+    sources/synth.py gen_page_html, empty text -> '(empty)'), verified
+    exact in tests; the oracle reconstructs it and hashes."""
+    fixture_rows = ",\n              ".join(
+        "('https://fixtures.example.com/%s', %s, '%s', CAST(%d AS BIGINT))"
+        % (name, _sql_str(title), fp, n)
+        for name, title, fp, n in _FIXTURE_READABILITY)
+    return """
+        WITH synth AS (
+            SELECT doc_id,
+                   'Document ' || CAST(doc_id AS VARCHAR)
+                   || chr(10) || '    ' ||
+                   CASE WHEN length(text) = 0 THEN '(empty)'
+                        ELSE array_to_string(
+                            list_transform(
+                                generate_series(
+                                    0, (length(text) + 399) // 400 - 1),
+                                i -> substr(text, i * 400 + 1, 400)),
+                            chr(10) || '    ') END AS article_text
+            FROM documents)
+        SELECT 'https://' || %s || '/doc/' || CAST(doc_id AS VARCHAR)
+                   AS url,
+               %s AS title,
+               md5(article_text) AS fp_article,
+               length(article_text) AS n_article_chars
+        FROM synth
+        UNION ALL
+        SELECT * FROM (VALUES
+              %s) fx(url, title, fp_article, n_article_chars)
+    """ % (_SYNTH_HOST_SQL, _SYNTH_TITLE_SQL, fixture_rows)
+
+
 def _crawl_wave_oracle_sql() -> str:
-    """Wave-0 fetch set under seeds range(0,120,3), per-host budget 30,
-    wave budget 100: seeds -> robots filter -> per-host top-B by
-    (priority desc, url asc) -> global (priority desc, url asc) cap.
-    All seeds share priority (depth 0), so ordering reduces to url asc.
+    """Both crawl waves re-derived in SQL, mirroring the frontier
+    semantics exactly (frontier/{scheduler,politeness,seen,robots}.py):
+
+    wave 0: seeds range(0,120,3) -> robots digit filter -> per-host
+    top-30 by (priority desc, url asc) -> global cap 100.  All seeds
+    share priority, so ordering reduces to url asc.
+
+    wave 1: every fetched page links to its 10 deterministic outlink
+    doc urls (sources/synth.py outlink_ids, n_docs = count(documents))
+    plus its host's home page '/'; candidates are canonical-distinct,
+    robots-filtered (the home path passes; /doc/<digit> prefixes
+    don't), anti-joined against everything the wave-0 dedup probe
+    admitted (all robots-passing seeds — inserted at probe time, before
+    politeness), then per-host top-30 / global top-100 again.  Home
+    pages fetch-fail -> empty title rows, kept.
+
     The per-host robots digit (synthetic REP file, frontier/robots.py:
     Disallow /doc/<xxh64(host)%%10>) is precomputed here — a pure
     function of the 16 fixed host names."""
@@ -90,29 +153,63 @@ def _crawl_wave_oracle_sql() -> str:
     digit_rows = ", ".join(
         "('h%d.example.com', '%d')" % (k, xxh64_str(
             "h%d.example.com" % k) % 10) for k in range(16))
+    host_t = _SYNTH_HOST_SQL.replace("doc_id", "tgt")
+    title_t = _SYNTH_TITLE_SQL.replace("doc_id", "tgt")
     return """
-        WITH seeds AS (
+        WITH n AS (SELECT count(*) AS n_docs FROM documents),
+        seeds AS (
             SELECT CAST(x AS BIGINT) AS doc_id
             FROM generate_series(0, 119, 3) s(x)),
         u AS (
-            SELECT doc_id, %s AS host,
-                   'https://' || %s || '/doc/'
+            SELECT doc_id, %(host)s AS host,
+                   'https://' || %(host)s || '/doc/'
                        || CAST(doc_id AS VARCHAR) AS url,
-                   %s AS title
+                   %(title)s AS title
             FROM seeds),
-        hd AS (SELECT * FROM (VALUES %s) t(host, digit)),
-        allowed AS (
+        hd AS (SELECT * FROM (VALUES %(digits)s) t(host, digit)),
+        w0_allowed AS (
             SELECT u.* FROM u JOIN hd ON u.host = hd.host
             WHERE substr(CAST(doc_id AS VARCHAR), 1, 1) <> hd.digit),
-        pol AS (
-            SELECT *, row_number() OVER (PARTITION BY host
-                                         ORDER BY url) AS rn
-            FROM allowed)
-        SELECT url, host, CAST(0 AS INTEGER) AS depth, title
-        FROM pol WHERE rn <= 30
-        ORDER BY url LIMIT 100
-    """ % (_SYNTH_HOST_SQL, _SYNTH_HOST_SQL, _SYNTH_TITLE_SQL,
-           digit_rows)
+        w0_sel AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY host
+                                             ORDER BY url) AS rn
+                FROM w0_allowed) WHERE rn <= 30
+            ORDER BY url LIMIT 100),
+        tgts AS (
+            SELECT (d.doc_id * 7919 + g.i * 104729 + g.i * g.i)
+                       %% n.n_docs AS tgt
+            FROM w0_sel d, generate_series(0, 7) g(i), n
+            UNION ALL
+            SELECT (doc_id + 1) %% n.n_docs FROM w0_sel, n
+            UNION ALL
+            SELECT (doc_id * 7919) %% n.n_docs FROM w0_sel, n),
+        link_urls AS (
+            SELECT DISTINCT
+                   'https://' || %(host_t)s || '/doc/'
+                       || CAST(tgt AS VARCHAR) AS url,
+                   %(host_t)s AS host, tgt, %(title_t)s AS title
+            FROM tgts
+            UNION
+            SELECT DISTINCT 'https://' || host || '/' AS url,
+                   host, CAST(NULL AS BIGINT) AS tgt, '' AS title
+            FROM w0_sel),
+        w1_cand AS (
+            SELECT l.* FROM link_urls l JOIN hd ON l.host = hd.host
+            WHERE (l.tgt IS NULL
+                   OR substr(CAST(l.tgt AS VARCHAR), 1, 1) <> hd.digit)
+              AND l.url NOT IN (SELECT url FROM w0_allowed)),
+        w1_sel AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY host
+                                             ORDER BY url) AS rn
+                FROM w1_cand) WHERE rn <= 30
+            ORDER BY url LIMIT 100)
+        SELECT url, host, CAST(0 AS INTEGER) AS depth, title FROM w0_sel
+        UNION ALL
+        SELECT url, host, CAST(1 AS INTEGER) AS depth, title FROM w1_sel
+    """ % {"host": _SYNTH_HOST_SQL, "title": _SYNTH_TITLE_SQL,
+           "digits": digit_rows, "host_t": host_t, "title_t": title_t}
 
 
 def _rd():
@@ -625,20 +722,44 @@ def q_extract(sf_dir: str):
 
 def q_readability(sf_dir: str):
     """Readability-style main-content extraction (reference example
-    examples/readability.rs re-expressed; rows-only check, pinned by
-    pytest on the fixture pages)."""
+    examples/readability.rs re-expressed).  Emits a digest row per
+    page (title, md5(article_text), n chars) so the oracle — which
+    re-derives the synthetic articles in SQL from the corpus
+    generation rule — stays compact; the driver hashes values either
+    way, so digest rows check exactly as hard as full text."""
     from nipper_ray.sources import read_pages
     from nipper_ray.stages import ReadabilityStage
 
     ds = read_pages(sf_dir, columns=["url", "html"])
-    return ds.map_batches(ReadabilityStage, batch_format="pyarrow",
-                          batch_size=32, concurrency=2)
+    out = ds.map_batches(ReadabilityStage, batch_format="pyarrow",
+                         batch_size=32, concurrency=2)
+
+    def digest(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        arts = t.column("article_text").to_pylist()
+        return pa.table({
+            "url": t.column("url"),
+            "title": t.column("title"),
+            "fp_article": pa.array(
+                [hashlib.md5((a or "").encode("utf-8")).hexdigest()
+                 for a in arts], pa.string()),
+            "n_article_chars": pa.array([len(a or "") for a in arts],
+                                        pa.int64()),
+        })
+
+    return out.map_batches(digest, batch_format="pyarrow")
 
 
 def q_crawl_wave(sf_dir: str):
-    """One full frontier wave end-to-end (robots + cuckoo dedup +
-    politeness + fetch + extract + checkpoint). Deterministic fetch set
-    under the fixed seed list and budgets -> stable rows-only check."""
+    """TWO full frontier waves end-to-end (robots + cuckoo dedup +
+    politeness + fetch + link extraction + checkpoint).  The fetch set
+    of BOTH waves is re-derived independently in SQL over the
+    deterministic link graph (see _crawl_wave_oracle_sql), putting
+    seed selection, robots, outlink extraction, cross-wave dedup and
+    second-wave politeness all under the driver's hash gate.  Failed
+    fetches (the /-path home links pages link to) stay as rows with
+    empty titles — they are part of the contract."""
     import shutil
     import tempfile
 
@@ -650,13 +771,15 @@ def q_crawl_wave(sf_dir: str):
     out = os.path.join(tempfile.gettempdir(), "nipper_q_crawl")
     shutil.rmtree(out, ignore_errors=True)
     run_crawl(sf_dir, out, [page_url(i) for i in range(0, 120, 3)],
-              waves=1, wave_budget=100, per_host_budget=30, num_shards=4)
-    d = os.path.join(out, "pages", "wave=0")
-    t = pa.concat_tables([
-        pq.read_table(os.path.join(d, f),
-                      columns=["url", "host", "depth", "title"])
-        for f in sorted(os.listdir(d)) if f.endswith(".parquet")])
-    return t.sort_by("url")
+              waves=2, wave_budget=100, per_host_budget=30, num_shards=4)
+    parts = []
+    for k in (0, 1):
+        d = os.path.join(out, "pages", "wave=%d" % k)
+        parts += [
+            pq.read_table(os.path.join(d, f),
+                          columns=["url", "host", "depth", "title"])
+            for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    return pa.concat_tables(parts).sort_by("url")
 
 
 def q_media_features(sf_dir: str):
@@ -888,7 +1011,8 @@ def oracle_sql() -> dict[str, str]:
         # independently re-derivable in SQL.
         "extract": _extract_oracle_sql(),
         "crawl_wave": _crawl_wave_oracle_sql(),
-        # langid / simhash / ann_lsh / readability / media_features:
-        # intentionally no oracle (heuristic / approximate / non-SQL) ->
-        # driver records rows-only checks.
+        "readability": _readability_oracle_sql(),
+        # langid / simhash / ann_lsh / media_features: intentionally no
+        # oracle (heuristic / approximate / non-SQL) -> driver records
+        # rows-only checks.
     }
