@@ -452,6 +452,52 @@ def q_hourly_windows(sf_dir: str):
         batch_format="pandas")
 
 
+def q_click_attribution(sf_dir: str):
+    """As-of join (an operator Ray Data lacks natively): every click
+    attributed to the user's latest view at-or-before the click.
+    ops/join.py asof_join = tag + union + ONE groupby(user) shuffle +
+    pandas merge_asof per group; ties on view ts pick the max view id
+    (mirrors the oracle's per-(user, ts) max aggregation before its
+    native ASOF JOIN)."""
+    import pandas as pd
+
+    from nipper_ray.ops.join import asof_join
+
+    rd = _rd()
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type"])
+    clicks = ev.map_batches(
+        lambda t: t.filter(pc.equal(t.column("event_type"),
+                                    pa.scalar("click")))
+        .select(["user_id", "event_id", "ts"])
+        .rename_columns(["user_id", "click_id", "ts"]),
+        batch_format="pyarrow")
+    views = ev.map_batches(
+        lambda t: (lambda f: pa.table({
+            "user_id": f.column("user_id"),
+            "ts": f.column("ts"),
+            "view_id": f.column("event_id"),
+            "view_ts": f.column("ts"),
+        }))(t.filter(pc.equal(t.column("event_type"),
+                              pa.scalar("view")))),
+        batch_format="pyarrow")
+    j = asof_join(clicks, views, by="user_id", on="ts",
+                  right_cols=["view_id", "view_ts"],
+                  right_tiebreak=["view_id"])
+
+    def finish(df: "pd.DataFrame") -> "pd.DataFrame":
+        gap = (df["ts"] - df["view_ts"]).astype("timedelta64[us]")
+        return pd.DataFrame({
+            "user_id": df["user_id"],
+            "click_id": df["click_id"],
+            "view_id": df["view_id"],
+            "gap_us": gap.astype("int64"),
+        })
+
+    return j.map_batches(finish, batch_format="pandas")
+
+
 def q_distinct_types(sf_dir: str):
     """distinct (shuffle) + filter."""
     rd = _rd()
@@ -806,6 +852,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_windows": q_hourly_windows,
         "session_windows": q_session_windows,
         "top_events_per_user": q_top_events_per_user,
+        "click_attribution": q_click_attribution,
         "distinct_types": q_distinct_types,
         "token_stats": q_token_stats,
         "quality": q_quality,
@@ -900,6 +947,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "distinct_types": """
             SELECT DISTINCT event_type FROM events WHERE value > 10.0
+        """,
+        "click_attribution": """
+            WITH clicks AS (
+                SELECT user_id, event_id AS click_id, ts
+                FROM events WHERE event_type = 'click'),
+            views AS (
+                SELECT user_id, max(event_id) AS view_id,
+                       ts AS view_ts
+                FROM events WHERE event_type = 'view'
+                GROUP BY user_id, ts)
+            SELECT c.user_id, c.click_id, v.view_id,
+                   date_diff('microsecond', v.view_ts, c.ts) AS gap_us
+            FROM clicks c ASOF JOIN views v
+              ON c.user_id = v.user_id AND c.ts >= v.view_ts
         """,
         "token_stats": """
             SELECT doc_id,

@@ -39,6 +39,97 @@ def hash_join(left, right, on, right_on=None, num_partitions: int = 8,
                      right_on=right_on)
 
 
+def asof_join(left, right, by: str, on: str, right_cols,
+              direction: str = "backward", inner: bool = True,
+              right_tiebreak=None):
+    """Distributed as-of join: for every left row, attach the right row
+    with the same ``by`` key and the greatest ``on`` <= left.on
+    (backward; "forward" = smallest >=).
+
+    Ray Data has no native as-of join; this is the documented
+    composition (groupby + sorted merge): both sides are tagged and
+    aligned to one schema, ONE ``groupby(by)`` shuffle co-locates each
+    key, and the per-group sorted merge is ``pandas.merge_asof``
+    (vectorized).  Partitioning assumption: one key group (all left +
+    right rows of a ``by`` value) fits a worker — salt hot keys by
+    time-bucketing ``on`` upstream if that breaks.
+
+    ``right_cols`` are the right-side payload columns carried onto the
+    output (must not collide with left columns).  Ties on ``on`` pick
+    the greatest ``right_tiebreak`` (default: last in (on,) order)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    l_pa = left.schema().base_schema
+    r_pa = right.schema().base_schema
+    l_schema = list(l_pa.names)
+    r_schema = [by, on] + list(right_cols)
+    type_of = {}
+    for sch in (l_pa, r_pa):
+        for f in sch:
+            type_of[f.name] = f.type
+    all_payload = [c for c in l_schema if c != by] \
+        + [c for c in right_cols]
+
+    def tag(side):
+        def fn(t: pa.Table) -> pa.Table:
+            cols = {by: t.column(by),
+                    "_side": pa.array([side] * len(t), pa.int8())}
+            src = l_schema if side == 0 else r_schema
+            for c in all_payload + [on]:
+                if c in cols:
+                    continue
+                cols[c] = (t.column(c) if c in src
+                           else pa.nulls(len(t), type=type_of[c]))
+            return pa.table(cols)
+
+        return fn
+
+    unioned = left.map_batches(tag(0), batch_format="pyarrow").union(
+        right.map_batches(tag(1), batch_format="pyarrow"))
+
+    sort_r = [on] + (list(right_tiebreak) if right_tiebreak else [])
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["_side"] == 0]
+        rg = g[g["_side"] == 1]
+        lcols = [c for c in l_schema]
+        rcols = [on] + list(right_cols)
+        lg = lg[lcols].sort_values(on, kind="mergesort")
+        rg = rg[rcols].sort_values(sort_r, kind="mergesort")
+        # columns absent on the other side carry nulls through the
+        # union, which promotes pandas ints to float — cast back on the
+        # (null-free) per-side slices
+        import pyarrow.types as pt
+
+        for frame, cols in ((lg, lcols), (rg, rcols)):
+            for c in cols:
+                if (frame[c].dtype.kind == "f"
+                        and pt.is_integer(type_of[c])
+                        and not frame[c].isna().any()):
+                    frame[c] = frame[c].astype(
+                        type_of[c].to_pandas_dtype())
+        if len(lg) == 0 or (inner and len(rg) == 0):
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=g[c].dtype)
+                 for c in lcols + list(right_cols)})
+        if len(rg) == 0:
+            out = lg.copy()
+            for c in right_cols:
+                out[c] = None
+            return out
+        out = pd.merge_asof(lg, rg, on=on, direction=direction,
+                            allow_exact_matches=True)
+        if inner:
+            out = out.dropna(subset=list(right_cols))
+            # unmatched-row NaNs promote int columns to float; restore
+            for c in right_cols:
+                out[c] = out[c].astype(rg[c].dtype)
+        return out
+
+    return unioned.groupby(by).map_groups(merge, batch_format="pandas")
+
+
 def broadcast_map(ds, mapping: dict, key_col: str, out_col: str,
                   drop_missing: bool = False):
     """Broadcast lookup join: adds ``out_col = mapping[key_col]`` per

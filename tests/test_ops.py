@@ -283,3 +283,42 @@ def test_minhash_neardup_pipeline_matches_bruteforce(ray_session):
                 want.append((i, j))
     assert gp == sorted(want)
     assert (5, 20) in gp and (7, 33) in gp
+
+
+def test_asof_join_semantics(ray_session):
+    """Backward/forward direction, exact-match ties (max tiebreak wins),
+    inner vs left behavior."""
+    import pandas as pd
+    import ray.data as rd
+
+    from nipper_ray.ops.join import asof_join
+
+    left = pa.table({
+        "k": pa.array([1, 1, 1, 2], pa.int64()),
+        "lid": pa.array([10, 11, 12, 13], pa.int64()),
+        "t": pa.array([5, 20, 3, 7], pa.int64()),
+    })
+    right = pa.table({
+        "k": pa.array([1, 1, 1, 9], pa.int64()),
+        "t": pa.array([5, 5, 18, 1], pa.int64()),
+        "rid": pa.array([100, 101, 102, 103], pa.int64()),
+    })
+    out = asof_join(rd.from_arrow(left), rd.from_arrow(right),
+                    by="k", on="t", right_cols=["rid"],
+                    right_tiebreak=["rid"]).to_pandas()
+    got = {int(r.lid): int(r.rid) for r in out.itertuples()}
+    # lid 10 at t=5: ties rid 100/101 -> max (101); lid 11 at t=20 ->
+    # rid 102 (t=18); lid 12 at t=3 -> no earlier right row (inner:
+    # dropped); k=2 has no right rows -> dropped
+    assert got == {10: 101, 11: 102}
+    assert out["rid"].dtype.kind == "i"
+
+    fwd = asof_join(rd.from_arrow(left), rd.from_arrow(right),
+                    by="k", on="t", right_cols=["rid"],
+                    direction="forward",
+                    right_tiebreak=["rid"]).to_pandas()
+    gf = {int(r.lid): int(r.rid) for r in fwd.itertuples()}
+    # forward: lid 10/12 -> first right at t>=: the t=5 tie group, where
+    # merge_asof forward picks the FIRST row in (t, rid) sort order
+    # (rid 100); lid 11 (t=20) has no later right row -> dropped
+    assert gf == {10: 100, 12: 100}
