@@ -498,6 +498,35 @@ def q_click_attribution(sf_dir: str):
     return j.map_batches(finish, batch_format="pandas")
 
 
+def q_sliding_windows(sf_dir: str):
+    """Sliding event-time windows (1 h window, 30 min slide): each
+    event expands to its 2 covering windows inside map_batches (no
+    shuffle for the expansion), then one grouped aggregate — the
+    standard sliding-window-as-tumbling-union rewrite."""
+    from ray.data.aggregate import Count, Sum
+
+    rd = _rd()
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "ts", "value"])
+    half = pa.scalar(30 * 60 * 1000, pa.duration("ms"))
+
+    def expand(t: pa.Table) -> pa.Table:
+        w = pc.floor_temporal(t.column("ts"), multiple=30, unit="minute")
+        base = pa.table({"event_type": t.column("event_type"),
+                         "value": t.column("value")})
+        return pa.concat_tables([
+            base.append_column("w_start", w),
+            base.append_column("w_start", pc.subtract(w, half)),
+        ])
+
+    ds = ds.map_batches(expand, batch_format="pyarrow")
+    agg = ds.groupby(["event_type", "w_start"]).aggregate(
+        Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    return agg.map_batches(
+        lambda df: df.assign(sum_value=df.sum_value.round(6)),
+        batch_format="pandas")
+
+
 def q_distinct_types(sf_dir: str):
     """distinct (shuffle) + filter."""
     rd = _rd()
@@ -851,6 +880,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users": q_top_users,
         "hourly_windows": q_hourly_windows,
         "session_windows": q_session_windows,
+        "sliding_windows": q_sliding_windows,
         "top_events_per_user": q_top_events_per_user,
         "click_attribution": q_click_attribution,
         "distinct_types": q_distinct_types,
@@ -937,6 +967,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_id,
                    count(*) AS n_events, min(ts) AS session_start
             FROM s GROUP BY user_id, session_id
+        """,
+        "sliding_windows": """
+            WITH e2 AS (
+                SELECT event_type, value,
+                       time_bucket(INTERVAL 30 MINUTE, ts) AS w_start
+                FROM events
+                UNION ALL
+                SELECT event_type, value,
+                       time_bucket(INTERVAL 30 MINUTE, ts)
+                           - INTERVAL 30 MINUTE
+                FROM events)
+            SELECT event_type, w_start, count(*) AS n,
+                   round(sum(value), 6) AS sum_value
+            FROM e2 GROUP BY event_type, w_start
         """,
         "top_events_per_user": """
             SELECT user_id, event_id, round(value, 6) AS value,
