@@ -457,11 +457,30 @@ class TreeBuilder:
     def _adoption_agency(self, name):
         nodes = self.tree.nodes
         cur = self._current()
-        if (cur.ns == HTML_NS and cur.name == name
-                and all(e is MARKER or e.el != self.open[-1]
-                        for e in self.afe)):
-            self.open.pop()
-            return
+        if cur.ns == HTML_NS and cur.name == name:
+            cur_id = self.open[-1]
+            # spec step 1: current node matches and is NOT in the afe
+            # list -> just pop
+            entry = None
+            for i in range(len(self.afe) - 1, -1, -1):
+                e = self.afe[i]
+                if e is MARKER:
+                    break
+                if e.name == name:
+                    entry = e
+                    break
+            if entry is None or all(
+                    e is MARKER or e.el != cur_id for e in self.afe):
+                self.open.pop()
+                return
+            if entry.el == cur_id:
+                # well-formed </fmt> of the current element: no deeper
+                # special element can exist, so the furthest-block
+                # search is vacuous and the full agency reduces to
+                # pop + afe remove.  Not a parse error.
+                self.open.pop()
+                self.afe.remove(entry)
+                return
         self.parse_error("misnested-tag-</%s>" % name)
         for _ in range(8):
             fmt_entry = None
