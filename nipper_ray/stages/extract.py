@@ -97,6 +97,7 @@ class ExtractStage:
         html_list = batch.column(self.html_col).to_pylist()
         outs = {r.name: [] for r in self.rules}
         ok = []
+        n_err = []
         # the DOM arena is cycle-free (int links), so the generational
         # GC only burns time scanning parse garbage (~13% of parse);
         # refcounting frees everything the moment each doc drops
@@ -104,7 +105,7 @@ class ExtractStage:
         if gc_was:
             gc.disable()
         try:
-            self._extract_rows(html_list, outs, ok)
+            self._extract_rows(html_list, outs, ok, n_err)
         finally:
             if gc_was:
                 gc.enable()
@@ -114,17 +115,22 @@ class ExtractStage:
         for r in self.rules:
             cols[r.name] = pa.array(outs[r.name], _rule_type(r.kind))
         cols["parse_ok"] = pa.array(ok, pa.bool_())
+        # recoverable parse errors per page (Document.errors — the
+        # reference's errors vec surfaced as a quality signal column)
+        cols["n_parse_errors"] = pa.array(n_err, pa.int64())
         return pa.table(cols)
 
-    def _extract_rows(self, html_list, outs, ok):
+    def _extract_rows(self, html_list, outs, ok, n_err):
         for raw in html_list:
             try:
                 doc = Document(decode_html(raw))
                 ok.append(True)
+                n_err.append(len(doc.errors))
             except Exception:
                 if self.errors == "raise":
                     raise
                 ok.append(False)
+                n_err.append(-1)
                 for r in self.rules:
                     outs[r.name].append(None)
                 continue

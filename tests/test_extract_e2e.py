@@ -85,3 +85,21 @@ def test_stage_unit_no_ray():
     batch = pa.table({"url": ["u1"], "html": [html]})
     out = stage(batch)
     assert out.column("h1_text")[0].as_py().strip() == "Provok.in"
+
+
+def test_n_parse_errors_column(ray_session):
+    """Document.errors surfaces as a per-page quality-signal column."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from nipper_ray.stages import extract_pages
+
+    pages = pa.table({
+        "url": ["a", "b"],
+        "html": ["<p>clean</p>".encode(),
+                 "<b><i>x</b>y</i><table>loose<tr><td>c</table>".encode()],
+    })
+    out = extract_pages(rd.from_arrow(pages), batch_size=2).to_pandas()
+    out = out.set_index("url")
+    assert out.loc["a", "n_parse_errors"] == 0
+    assert out.loc["b", "n_parse_errors"] > 0
