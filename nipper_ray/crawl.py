@@ -46,6 +46,9 @@ def main(argv=None):
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--use-actors", action="store_true",
                     help="actor-pool stages (long-running cluster shape)")
+    ap.add_argument("--curate", action="store_true",
+                    help="after the waves: dedup + quality-filter the "
+                         "extracted text into <out>/curated/ parquet")
     args = ap.parse_args(argv)
 
     import ray
@@ -71,6 +74,11 @@ def main(argv=None):
     for m in metrics:
         # lineage lives in the checkpoint manifest; keep stdout concise
         print(json.dumps({k: v for k, v in m.items() if k != "lineage"}))
+    if args.curate:
+        from .pipelines.curate import curate_crawl_output
+
+        n, cur_dir = curate_crawl_output(args.out)
+        print(json.dumps({"curated_rows": n, "curated_dir": cur_dir}))
     if owns_ray:
         ray.shutdown()
 

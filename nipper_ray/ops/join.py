@@ -60,8 +60,16 @@ def asof_join(left, right, by: str, on: str, right_cols,
     import pandas as pd
     import pyarrow as pa
 
-    l_pa = left.schema().base_schema
-    r_pa = right.schema().base_schema
+    def _pa_schema(ds):
+        base = getattr(ds.schema(), "base_schema", None)
+        if isinstance(base, pa.Schema):
+            return ds, base
+        # pandas-block dataset: normalize to Arrow blocks first
+        ds = ds.map_batches(lambda t: t, batch_format="pyarrow")
+        return ds, ds.schema().base_schema
+
+    left, l_pa = _pa_schema(left)
+    right, r_pa = _pa_schema(right)
     l_schema = list(l_pa.names)
     r_schema = [by, on] + list(right_cols)
     type_of = {}

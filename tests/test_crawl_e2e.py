@@ -142,3 +142,31 @@ def test_resume_after_midwave_crash(ray_session):
     got = sorted(r["url"] for r in _fetched(out, 1))
     want = sorted(r["url"] for r in _fetched(clean, 1))
     assert got == want  # no duplicates from stale partial files
+
+
+def test_curate_crawl_output(crawl_a):
+    """Crawl -> curated parquet tail: unique content only, token floor
+    respected, keeper = min url per content hash."""
+    import hashlib
+
+    from nipper_ray.pipelines.curate import (_TOK_RE,
+                                             curate_crawl_output)
+
+    out, _ = crawl_a
+    n, cur_dir = curate_crawl_output(out, min_tokens=1)
+    t = pq.read_table(cur_dir)
+    assert n == len(t) > 0
+    urls = t.column("url").to_pylist()
+    assert len(set(urls)) == len(urls)
+    # every kept url is the min url of its content group
+    pages = pq.read_table(os.path.join(out, "pages"),
+                          columns=["url", "body_text"])
+    by_md5 = {}
+    for u, b in zip(pages.column("url").to_pylist(),
+                    pages.column("body_text").to_pylist()):
+        if len(_TOK_RE.findall(b or "")) < 1:
+            continue
+        k = hashlib.md5((b or "").encode()).hexdigest()
+        by_md5.setdefault(k, []).append(u)
+    want = sorted(min(v) for v in by_md5.values())
+    assert sorted(urls) == want

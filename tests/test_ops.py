@@ -322,3 +322,51 @@ def test_asof_join_semantics(ray_session):
     # merge_asof forward picks the FIRST row in (t, rid) sort order
     # (rid 100); lid 11 (t=20) has no later right row -> dropped
     assert gf == {10: 100, 12: 100}
+
+
+def test_asof_join_differential_vs_duckdb(ray_session):
+    """Randomized differential: asof_join == DuckDB's native ASOF JOIN
+    on generated (key, time) data with exact-ts ties and empty keys."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from nipper_ray.ops.join import asof_join
+
+    rng = np.random.RandomState(11)
+    nl, nr = 300, 200
+    left = pd.DataFrame({
+        "k": rng.randint(0, 12, nl).astype("int64"),
+        "lid": np.arange(nl, dtype="int64"),
+        # coarse grid forces exact-match ties with the right side
+        "t": rng.randint(0, 50, nl).astype("int64"),
+    })
+    right = pd.DataFrame({
+        "k": rng.randint(0, 15, nr).astype("int64"),   # some keys unmatched
+        "t": rng.randint(0, 50, nr).astype("int64"),
+        "rid": np.arange(1000, 1000 + nr, dtype="int64"),
+    })
+    # deterministic tie semantics on both sides: collapse right to one
+    # row per (k, t) keeping max rid
+    right = (right.sort_values(["k", "t", "rid"])
+             .drop_duplicates(["k", "t"], keep="last")
+             .reset_index(drop=True))
+
+    got = asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                    by="k", on="t", right_cols=["rid"],
+                    right_tiebreak=["rid"]).to_pandas()
+    got = got.sort_values("lid").reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    want = con.execute("""
+        SELECT l.k, l.lid, l.t, r.rid
+        FROM l ASOF JOIN r ON l.k = r.k AND l.t >= r.t
+        ORDER BY lid
+    """).df()
+    assert len(got) == len(want)
+    assert (got["lid"].values == want["lid"].values).all()
+    assert (got["rid"].astype("int64").values
+            == want["rid"].astype("int64").values).all()
