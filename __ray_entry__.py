@@ -770,6 +770,21 @@ def q_ann_topk(sf_dir: str):
     return brute_force_topk(ds, qref, k=10, concurrency=2)
 
 
+def q_ann_ivf(sf_dir: str):
+    """IVF-bucketed approximate ANN (coarse k-means quantizer +
+    nprobe cell filter; deterministic, rows-only)."""
+    import ray
+
+    from nipper_ray.ops.similarity import ivf_topk
+
+    rd = _rd()
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    qref = ray.put(_query_vectors(sf_dir))
+    return ivf_topk(ds, qref, k=10, n_cells=16, nprobe=4,
+                    concurrency=2)
+
+
 def q_ann_lsh(sf_dir: str):
     """Approximate LSH-bucketed variant (the scale path; rows-only)."""
     import ray
@@ -896,6 +911,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": q_embedding_neardup,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "extract": q_extract,
         "readability": q_readability,
         "crawl_wave": q_crawl_wave,

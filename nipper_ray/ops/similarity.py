@@ -104,12 +104,24 @@ def topk_reduce(rows, k: int):
     })
 
 
-def brute_force_topk(ds, queries_ref, k: int = 10, concurrency=2):
+def _score_stage(ds, queries_ref, k, concurrency, use_actors):
+    """BruteForceTopKStage as stateless pickled instance (default —
+    contention-free at low CPU counts, cached per worker) or as an
+    actor pool (long-running-cluster shape)."""
+    if use_actors:
+        return ds.map_batches(
+            BruteForceTopKStage, batch_format="pyarrow",
+            batch_size=1024,
+            fn_constructor_kwargs={"queries_ref": queries_ref, "k": k},
+            concurrency=concurrency)
+    return ds.map_batches(BruteForceTopKStage(queries_ref, k=k),
+                          batch_format="pyarrow", batch_size=1024)
+
+
+def brute_force_topk(ds, queries_ref, k: int = 10, concurrency=2,
+                     use_actors: bool = False):
     """Full pipeline: Dataset[embeddings] -> exact top-k neighbor table."""
-    cand = ds.map_batches(
-        BruteForceTopKStage, batch_format="pyarrow", batch_size=1024,
-        fn_constructor_kwargs={"queries_ref": queries_ref, "k": k},
-        concurrency=concurrency)
+    cand = _score_stage(ds, queries_ref, k, concurrency, use_actors)
     return topk_reduce(cand.take_all(), k)
 
 
@@ -139,8 +151,72 @@ class LshBucketStage:
                                    pa.array(keys, pa.int64()))
 
 
+def _kmeans_cosine(sample: np.ndarray, k: int, iters: int = 10):
+    """Deterministic spherical k-means: first-k rows init (no RNG),
+    fixed Lloyd iterations, cosine assignment on normalized vectors."""
+    sample = _normalize(sample.astype(np.float64))
+    cent = sample[:k].copy()
+    for _ in range(iters):
+        assign = (sample @ cent.T).argmax(axis=1)
+        for j in range(k):
+            members = sample[assign == j]
+            if len(members):
+                cent[j] = members.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+class IvfAssignStage:
+    """Adds the nearest-centroid cell id per row (broadcast centroids
+    ride in the pickled stage; one matmul per batch)."""
+
+    def __init__(self, centroids: np.ndarray):
+        self.centroids = centroids
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(embedding_matrix(batch.column("embedding")))
+        cell = (m @ self.centroids.T).argmax(axis=1).astype(np.int32)
+        return batch.append_column("ivf_cell", pa.array(cell, pa.int32()))
+
+
+def ivf_topk(ds, queries_ref, k: int = 10, n_cells: int = 16,
+             nprobe: int = 4, sample_size: int = 2048, concurrency=2,
+             use_actors: bool = False):
+    """IVF approximate top-k — the coarse-quantizer scale path: a
+    deterministic k-means codebook from a bounded head sample (driver
+    holds <= sample_size vectors, never the table), cell assignment as
+    a map stage, and scoring only rows whose cell is among each
+    query's ``nprobe`` nearest centroids.
+
+    At 100 TB the assignment is a one-pass map (centroids broadcast),
+    and the probe filter cuts the scored fraction to ~nprobe/n_cells;
+    the per-block top-k + tiny driver reduce are shared with the
+    brute-force path."""
+    import ray
+
+    sample = ds.limit(sample_size).take_all()
+    s_mat = np.array([r["embedding"] for r in sample], dtype=np.float64)
+    cent = _kmeans_cosine(s_mat, n_cells)
+
+    q = ray.get(queries_ref)
+    q_mat = _normalize(np.asarray(q["vectors"], dtype=np.float64))
+    probes_per_q = np.argsort(-(q_mat @ cent.T), axis=1)[:, :nprobe]
+    wanted = pa.array(sorted({int(c) for row in probes_per_q
+                              for c in row}), pa.int32())
+
+    assigned = ds.map_batches(IvfAssignStage(cent),
+                              batch_format="pyarrow")
+    filtered = assigned.map_batches(
+        lambda t: t.filter(pa.compute.is_in(t.column("ivf_cell"),
+                                            value_set=wanted)),
+        batch_format="pyarrow")
+    cand = _score_stage(filtered, queries_ref, k, concurrency,
+                        use_actors)
+    return topk_reduce(cand.take_all(), k)
+
+
 def lsh_topk(ds, queries_ref, k: int = 10, probes: int = 2,
-             dim: int = 64, concurrency=2):
+             dim: int = 64, concurrency=2, use_actors: bool = False):
     """Approximate top-k: score only rows in the query's bucket (plus
     nearest hamming-1 probe buckets)."""
     import ray
@@ -148,26 +224,37 @@ def lsh_topk(ds, queries_ref, k: int = 10, probes: int = 2,
     q = ray.get(queries_ref)
     q_mat = np.asarray(q["vectors"], dtype=np.float64)
     planes = _planes(dim)
-    q_bits = (q_mat @ planes.T) > 0
+    proj = q_mat @ planes.T
+    q_bits = proj > 0
+    # margin-ordered multi-probe: flip the LEAST-confident bits (the
+    # hyperplanes the query is closest to) — a boundary-straddling
+    # near-dup differs from the query's bucket in exactly those bits
+    probe_order = np.argsort(np.abs(proj), axis=1)
     wanted = set()
-    for row in q_bits:
+    for qi, row in enumerate(q_bits):
         key = 0
         for b in range(_N_PLANES):
             key |= int(row[b]) << b
         wanted.add(key)
-        for flip in range(min(probes, _N_PLANES)):
-            wanted.add(key ^ (1 << flip))
-    bucketed = ds.map_batches(LshBucketStage, batch_format="pyarrow",
-                              fn_constructor_kwargs={"dim": dim},
-                              concurrency=concurrency)
+        flips = probe_order[qi, :min(probes, _N_PLANES)]
+        for flip in flips:
+            wanted.add(key ^ (1 << int(flip)))
+        # 2-bit probes over the two least-confident planes
+        if len(flips) >= 2:
+            wanted.add(key ^ (1 << int(flips[0])) ^ (1 << int(flips[1])))
+    if use_actors:
+        bucketed = ds.map_batches(
+            LshBucketStage, batch_format="pyarrow",
+            fn_constructor_kwargs={"dim": dim}, concurrency=concurrency)
+    else:
+        bucketed = ds.map_batches(LshBucketStage(dim),
+                                  batch_format="pyarrow")
     wanted_arr = pa.array(sorted(wanted), pa.int64())
     filtered = bucketed.map_batches(
         lambda t: t.filter(
             pa.compute.is_in(t.column("lsh_bucket"),
                              value_set=wanted_arr)),
         batch_format="pyarrow")
-    cand = filtered.map_batches(
-        BruteForceTopKStage, batch_format="pyarrow", batch_size=1024,
-        fn_constructor_kwargs={"queries_ref": queries_ref, "k": k},
-        concurrency=concurrency)
+    cand = _score_stage(filtered, queries_ref, k, concurrency,
+                        use_actors)
     return topk_reduce(cand.take_all(), k)

@@ -370,3 +370,62 @@ def test_asof_join_differential_vs_duckdb(ray_session):
     assert (got["lid"].values == want["lid"].values).all()
     assert (got["rid"].astype("int64").values
             == want["rid"].astype("int64").values).all()
+
+
+def test_ann_variants_recall(ray_session):
+    """Each approximate ANN path asserted in its valid regime:
+    IVF (data-dependent coarse quantizer) must keep high recall@10
+    even for weak cos~0.3 neighbors; hyperplane-LSH prunes only in the
+    high-cosine (near-dup) regime, so it is asserted on planted
+    near-duplicate vectors.  Both must be run-to-run deterministic."""
+    import ray
+    import ray.data as rd
+    import numpy as np
+    import pyarrow.compute as pc_
+    import pyarrow.parquet as pq
+
+    from nipper_ray.ops.similarity import (brute_force_topk, ivf_topk,
+                                           lsh_topk)
+
+    base = pq.read_table("/root/testdata/sf0.001/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    qt = base.filter(pc_.less(base.column("vec_id"), pa.scalar(5)))
+    q_vecs = qt.column("embedding").to_pylist()
+    # plant 3 near-dups of each query (cos ~0.999) with fresh ids
+    n0 = len(base)
+    extra_ids, extra_vecs = [], []
+    rng = np.random.RandomState(4)
+    for qi, v in enumerate(q_vecs):
+        a = np.asarray(v)
+        for j in range(3):
+            extra_ids.append(10_000 + qi * 10 + j)
+            extra_vecs.append(
+                (a + 0.01 * rng.standard_normal(len(a))).tolist())
+    t = pa.concat_tables([base, pa.table({
+        "vec_id": pa.array(extra_ids, pa.int64()),
+        "embedding": pa.array(extra_vecs, base.column(
+            "embedding").type)})])
+    ds = rd.from_arrow(t)
+    qref = ray.put({"ids": qt.column("vec_id").to_pylist(),
+                    "vectors": q_vecs})
+
+    def sets(tbl):
+        out = {}
+        for r in tbl.to_pylist():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    exact = sets(brute_force_topk(ds, qref, k=10))
+    ivf = sets(ivf_topk(ds, qref, k=10, n_cells=8, nprobe=3))
+    rec_ivf = [len(ivf.get(q, set()) & exact[q]) / len(exact[q])
+               for q in exact]
+    assert sum(rec_ivf) / len(rec_ivf) >= 0.9, rec_ivf
+
+    lsh = sets(lsh_topk(ds, qref, k=10, probes=4, dim=64))
+    for qi, q in enumerate(sorted(exact)):
+        planted = {10_000 + qi * 10 + j for j in range(3)}
+        assert planted <= lsh.get(q, set()), (q, lsh.get(q))  # hi-cos found
+        assert q in lsh.get(q, set())  # and the query itself
+
+    again = sets(ivf_topk(ds, qref, k=10, n_cells=8, nprobe=3))
+    assert again == ivf  # deterministic
