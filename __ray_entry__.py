@@ -26,6 +26,33 @@ _FIXTURES = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 STOPWORDS_SQL = "('the','a','an','and','or','of','to','in','is','are'," \
     "'was','were','be','been','it','this','that')"
 
+# exact word-3-gram Jaccard join over documents — the minhash_neardup
+# oracle, also reused as the pair source of the dedup_clusters oracle
+_MINHASH_PAIRS_SQL = """
+            WITH w AS (SELECT doc_id,
+                              regexp_extract_all(lower(text),
+                                                 '[a-z0-9_]+') AS w
+                       FROM documents),
+                 sh AS (SELECT doc_id, list_distinct(list_transform(
+                            generate_series(1, len(w) - 2),
+                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                            AS s
+                        FROM w WHERE len(w) >= 3),
+                 e AS (SELECT doc_id, unnest(s) AS g FROM sh),
+                 sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+                 inter AS (SELECT e1.doc_id AS a, e2.doc_id AS b,
+                                  count(*) AS i
+                           FROM e e1 JOIN e e2
+                             ON e1.g = e2.g AND e1.doc_id < e2.doc_id
+                           GROUP BY 1, 2)
+            SELECT a, b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.6
+            ORDER BY a, b
+        """
+
 # Golden (title, n_links) for the 5 reference fixture pages embedded in
 # the synthetic corpus.  Values are pinned byte-exact by the round-1
 # reference-parity tests (tests/test_extract_e2e.py); the 500+ synthetic
@@ -720,6 +747,23 @@ def q_minhash_neardup(sf_dir: str):
                            num_partitions=4)
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Near-dup clustering at scale: verified minhash pairs ->
+    distributed connected components (ops/cc.py min-label propagation —
+    one hash join + one groupby per iteration over narrow (node, label)
+    rows), cluster_id = min doc id of the component.  Exact SQL oracle
+    via a recursive-CTE transitive closure over the same pair set."""
+    from nipper_ray.ops.cc import connected_components
+    from nipper_ray.ops.dedup import minhash_neardup
+
+    rd = _rd()
+    corpus = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"])
+    pairs = minhash_neardup(corpus, threshold=0.6, n=3, n_bands=16,
+                            num_partitions=4)
+    return connected_components(pairs, num_partitions=4)
+
+
 def q_simhash(sf_dir: str):
     from nipper_ray.ops.dedup import simhash_stage
 
@@ -907,6 +951,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": q_langid,
         "exact_dedup": q_exact_dedup,
         "minhash_neardup": q_minhash_neardup,
+        "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "embedding_neardup": q_embedding_neardup,
         "ann_topk": q_ann_topk,
@@ -1080,30 +1125,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies
             FROM documents GROUP BY md5(text)
         """,
-        "minhash_neardup": """
-            WITH w AS (SELECT doc_id,
-                              regexp_extract_all(lower(text),
-                                                 '[a-z0-9_]+') AS w
-                       FROM documents),
-                 sh AS (SELECT doc_id, list_distinct(list_transform(
-                            generate_series(1, len(w) - 2),
-                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
-                            AS s
-                        FROM w WHERE len(w) >= 3),
-                 e AS (SELECT doc_id, unnest(s) AS g FROM sh),
-                 sizes AS (SELECT doc_id, len(s) AS n FROM sh),
-                 inter AS (SELECT e1.doc_id AS a, e2.doc_id AS b,
-                                  count(*) AS i
-                           FROM e e1 JOIN e e2
-                             ON e1.g = e2.g AND e1.doc_id < e2.doc_id
-                           GROUP BY 1, 2)
-            SELECT a, b
-            FROM inter
-            JOIN sizes sa ON sa.doc_id = a
-            JOIN sizes sb ON sb.doc_id = b
-            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.6
-            ORDER BY a, b
-        """,
+        "minhash_neardup": _MINHASH_PAIRS_SQL,
+        "dedup_clusters": """
+            WITH RECURSIVE pr AS (SELECT * FROM (%s) q),
+            edges AS (
+                SELECT a AS u, b AS v FROM pr
+                UNION SELECT b, a FROM pr
+                UNION SELECT a, a FROM pr
+                UNION SELECT b, b FROM pr),
+            reach(u, r) AS (
+                SELECT u, v FROM edges
+                UNION
+                SELECT e.u, reach.r
+                FROM edges e JOIN reach ON e.v = reach.u)
+            SELECT u AS doc_id, min(r) AS cluster_id
+            FROM reach GROUP BY u
+        """ % _MINHASH_PAIRS_SQL,
         "embedding_neardup": """
             SELECT e1.vec_id AS a, e2.vec_id AS b
             FROM embeddings e1 JOIN embeddings e2

@@ -429,3 +429,20 @@ def test_ann_variants_recall(ray_session):
 
     again = sets(ivf_topk(ds, qref, k=10, n_cells=8, nprobe=3))
     assert again == ivf  # deterministic
+
+
+def test_connected_components_chain(ray_session):
+    """Multi-hop chains (diameter > 1) converge to min-label; isolated
+    pair endpoints keep their own component."""
+    import ray.data as rd
+
+    from nipper_ray.ops.cc import connected_components
+
+    pairs = pa.table({
+        "a": pa.array([10, 11, 12, 13,  50,  70], pa.int64()),
+        "b": pa.array([11, 12, 13, 14,  51,  70], pa.int64()),
+    })  # chain 10-11-12-13-14, pair 50-51, self-pair 70
+    out = connected_components(rd.from_arrow(pairs)).to_pandas()
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert got == {10: 10, 11: 10, 12: 10, 13: 10, 14: 10,
+                   50: 50, 51: 50, 70: 70}
