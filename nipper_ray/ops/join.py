@@ -118,8 +118,13 @@ def asof_join(left, right, by: str, on: str, right_cols,
                     frame[c] = frame[c].astype(
                         type_of[c].to_pandas_dtype())
         if len(lg) == 0 or (inner and len(rg) == 0):
+            # build the empty frame with the ORIGINAL arrow dtypes, not
+            # the group frame's (whose ints were float-promoted by the
+            # union nulls) — a float64-typed empty block would poison
+            # the output schema merge
             return pd.DataFrame(
-                {c: pd.Series([], dtype=g[c].dtype)
+                {c: pd.Series(
+                    [], dtype=type_of[c].to_pandas_dtype())
                  for c in lcols + list(right_cols)})
         if len(rg) == 0:
             out = lg.copy()

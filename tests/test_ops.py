@@ -446,3 +446,22 @@ def test_connected_components_chain(ray_session):
     got = dict(zip(out["doc_id"], out["cluster_id"]))
     assert got == {10: 10, 11: 10, 12: 10, 13: 10, 14: 10,
                    50: 50, 51: 50, 70: 70}
+
+
+def test_asof_join_one_sided_keys(ray_session):
+    """Keys with only right rows (or only left rows) must not poison
+    the output schema with float-promoted empties."""
+    import ray.data as rd
+
+    from nipper_ray.ops.join import asof_join
+
+    left = pa.table({"k": pa.array([1], pa.int64()),
+                     "lid": pa.array([10], pa.int64()),
+                     "t": pa.array([5], pa.int64())})
+    right = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                      "t": pa.array([4, 4, 4], pa.int64()),
+                      "rid": pa.array([100, 101, 102], pa.int64())})
+    out = asof_join(rd.from_arrow(left), rd.from_arrow(right),
+                    by="k", on="t", right_cols=["rid"]).to_pandas()
+    assert out["rid"].dtype.kind == "i" and out["lid"].dtype.kind == "i"
+    assert dict(zip(out["lid"], out["rid"])) == {10: 100}
