@@ -479,6 +479,28 @@ def q_hourly_windows(sf_dir: str):
         batch_format="pandas")
 
 
+def q_value_bands(sf_dir: str):
+    """Range (interval) join with OVERLAPPING bands: each event joins
+    every band containing its value (broadcast interval side, flat-map
+    expansion — ops/join.py range_join_broadcast), then a grouped
+    aggregate per (event_type, band)."""
+    from ray.data.aggregate import Count, Sum
+
+    from nipper_ray.ops.join import range_join_broadcast
+
+    rd = _rd()
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "value"])
+    bands = [(0.0, 20.0, "low"), (10.0, 50.0, "mid"),
+             (40.0, 100.0, "high"), (0.0, 100.0, "all")]
+    j = range_join_broadcast(ds, bands, value_col="value")
+    agg = j.groupby(["event_type", "band"]).aggregate(
+        Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    return agg.map_batches(
+        lambda df: df.assign(sum_value=df.sum_value.round(6)),
+        batch_format="pandas")
+
+
 def q_click_attribution(sf_dir: str):
     """As-of join (an operator Ray Data lacks natively): every click
     attributed to the user's latest view at-or-before the click.
@@ -942,6 +964,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_windows": q_sliding_windows,
         "top_events_per_user": q_top_events_per_user,
         "click_attribution": q_click_attribution,
+        "value_bands": q_value_bands,
         "distinct_types": q_distinct_types,
         "token_stats": q_token_stats,
         "quality": q_quality,
@@ -1052,6 +1075,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "distinct_types": """
             SELECT DISTINCT event_type FROM events WHERE value > 10.0
+        """,
+        "value_bands": """
+            SELECT event_type, band, count(*) AS n,
+                   round(sum(value), 6) AS sum_value
+            FROM events
+            JOIN (VALUES (0.0, 20.0, 'low'), (10.0, 50.0, 'mid'),
+                         (40.0, 100.0, 'high'), (0.0, 100.0, 'all'))
+                 b(lo, hi, band)
+              ON value >= lo AND value < hi
+            GROUP BY event_type, band
         """,
         "click_attribution": """
             WITH clicks AS (

@@ -143,6 +143,40 @@ def asof_join(left, right, by: str, on: str, right_cols,
     return unioned.groupby(by).map_groups(merge, batch_format="pandas")
 
 
+def range_join_broadcast(ds, intervals, value_col: str,
+                         tag_col: str = "band"):
+    """Broadcast range (interval) join: each row matches every interval
+    with ``lo <= value < hi`` — intervals may overlap, so a row can
+    emit multiple output rows (the flat-map shape).
+
+    ``intervals`` is a small list of ``(lo, hi, tag)`` broadcast inside
+    the stage; matching is one vectorized comparison per interval per
+    batch (O(k × batch) numpy, no shuffle).  For a LARGE interval side
+    you would instead sort both sides and band-partition by range —
+    not needed while the interval side fits a task."""
+    import numpy as np
+    import pyarrow as pa
+
+    ivs = [(float(lo), float(hi), tag) for lo, hi, tag in intervals]
+
+    def apply(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        parts = []
+        for lo, hi, tag in ivs:
+            mask = (v >= lo) & (v < hi)
+            if mask.any():
+                sub = batch.filter(pa.array(mask))
+                parts.append(sub.append_column(
+                    tag_col, pa.array([tag] * len(sub))))
+        if not parts:
+            empty = batch.slice(0, 0)
+            return empty.append_column(
+                tag_col, pa.array([], pa.string()))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(apply, batch_format="pyarrow")
+
+
 def broadcast_map(ds, mapping: dict, key_col: str, out_col: str,
                   drop_missing: bool = False):
     """Broadcast lookup join: adds ``out_col = mapping[key_col]`` per
