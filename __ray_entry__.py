@@ -479,6 +479,39 @@ def q_hourly_windows(sf_dir: str):
         batch_format="pandas")
 
 
+def q_props_stats(sf_dir: str):
+    """Semi-structured column op: parse the JSON ``props`` payload,
+    extract a field, pre-aggregate per batch, tiny final groupby.
+    (stdlib json per row inside the batch — at 100 TB swap in a C JSON
+    parser behind the same stage boundary; the Ray plumbing — batch
+    parse, partial agg, narrow shuffle — is the scale shape.)"""
+    import json
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    rd = _rd()
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ks = [json.loads(p or "{}").get("k") for p in
+              t.column("props").to_pylist()]
+        tt = pa.table({"event_type": t.column("event_type"),
+                       "k": pa.array(ks, pa.int64())})
+        g = tt.group_by(["event_type"]).aggregate(
+            [("k", "sum"), ("k", "min"), ("k", "max"), ("k", "count")])
+        return g.rename_columns(["event_type", "sum_k", "min_k",
+                                 "max_k", "n"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    agg = parts.groupby("event_type").aggregate(
+        Sum("sum_k", alias_name="sum_k"),
+        Min("min_k", alias_name="min_k"),
+        Max("max_k", alias_name="max_k"),
+        Sum("n", alias_name="n"))
+    return agg
+
+
 def q_value_bands(sf_dir: str):
     """Range (interval) join with OVERLAPPING bands: each event joins
     every band containing its value (broadcast interval side, flat-map
@@ -965,6 +998,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_events_per_user": q_top_events_per_user,
         "click_attribution": q_click_attribution,
         "value_bands": q_value_bands,
+        "props_stats": q_props_stats,
         "distinct_types": q_distinct_types,
         "token_stats": q_token_stats,
         "quality": q_quality,
@@ -1075,6 +1109,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "distinct_types": """
             SELECT DISTINCT event_type FROM events WHERE value > 10.0
+        """,
+        "props_stats": """
+            SELECT event_type,
+                   CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k,
+                   min(CAST(json_extract(props, '$.k') AS BIGINT))
+                       AS min_k,
+                   max(CAST(json_extract(props, '$.k') AS BIGINT))
+                       AS max_k,
+                   count(*) AS n
+            FROM events GROUP BY event_type
         """,
         "value_bands": """
             SELECT event_type, band, count(*) AS n,
