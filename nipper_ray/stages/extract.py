@@ -35,8 +35,23 @@ def _select_all(tree, compileds):
     identical per-rule results to K separate Document.select DFS walks
     (from the single root each node is visited exactly once, so the
     cross-root dedup in the reference's Matches iterator is a no-op),
-    at one tree traversal instead of K."""
+    at one tree traversal instead of K.
+
+    Rules whose rightmost compound names a type (the usual case) are
+    bucketed by that tag name, so a node consults only the rules that
+    could possibly match it — O(1) dict probe instead of K matcher
+    calls per node (same fast-name logic as match_node's reject)."""
+    from ..dom import ELEMENT
+
     results = [[] for _ in compileds]
+    byname = {}
+    universal = []
+    for k, comp in enumerate(compileds):
+        if comp.fast_names:
+            for nm in comp.fast_names:
+                byname.setdefault(nm, []).append((k, comp))
+        else:
+            universal.append((k, comp))
     nodes = tree.nodes
     stack = [0]
     while stack:
@@ -46,7 +61,13 @@ def _select_all(tree, compileds):
         while c != -1:
             stack.append(c)
             c = nodes[c].prev
-        for k, comp in enumerate(compileds):
+        if node.kind == ELEMENT:
+            cands = byname.get(node.name)
+            if cands is not None:
+                for k, comp in cands:
+                    if comp.match_node(tree, nid):
+                        results[k].append(nid)
+        for k, comp in universal:
             if comp.match_node(tree, nid):
                 results[k].append(nid)
     return results
