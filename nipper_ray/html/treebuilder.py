@@ -756,6 +756,21 @@ class TreeBuilder:
     # ------------------------------------------------------------------
     def _chars(self, text):
         mode = self.mode
+        # fast path: ordinary text in body under an HTML-ns element —
+        # the overwhelmingly common case; semantics identical to the
+        # IN_BODY tail below (the foreign-content branch is a no-op
+        # for HTML-ns current nodes)
+        if mode == IN_BODY and self.open \
+                and self.tree.nodes[self.open[-1]].ns == HTML_NS:
+            if "\x00" in text:
+                text = text.replace("\x00", "")
+                if not text:
+                    return
+            self._reconstruct_afe()
+            self._insert_text(text)
+            if self.frameset_ok and text.strip(WS):
+                self.frameset_ok = False
+            return
         # foreign content check for char tokens
         if self.open and not (self.fragment_ctx is not None
                               and len(self.open) == 1):
