@@ -829,6 +829,18 @@ def q_simhash(sf_dir: str):
     return out.select_columns(["doc_id", "simhash"])
 
 
+def q_simhash_neardup(sf_dir: str):
+    """SimHash near-dup pairs (hamming <= 3 via 16-bit banding +
+    per-bucket verification; xxh64-based simhash is not SQL-expressible
+    -> rows-only)."""
+    from nipper_ray.ops.dedup import simhash_neardup
+
+    rd = _rd()
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    return simhash_neardup(ds, max_hamming=3)
+
+
 def q_embedding_neardup(sf_dir: str):
     """embedding-cosine near-dup pairs (threshold 0.3, rounded sims),
     exact and fully distributed via the block grid
@@ -1010,6 +1022,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_neardup": q_minhash_neardup,
         "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
+        "simhash_neardup": q_simhash_neardup,
         "embedding_neardup": q_embedding_neardup,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,

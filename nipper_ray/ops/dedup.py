@@ -310,6 +310,71 @@ def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
+def simhash_bands_stage(batch: pa.Table, id_col: str = "doc_id",
+                        n_bands: int = 4) -> pa.Table:
+    """Explode 64-bit simhashes into (band_id, band_key) rows: two
+    docs within hamming distance d < n_bands agree on at least one
+    16-bit band (pigeonhole), so banding finds all close pairs."""
+    h = batch.column("simhash").to_numpy(zero_copy_only=False)
+    n = len(h)
+    bits = 64 // n_bands
+    mask = np.uint64((1 << bits) - 1)
+    keys = np.concatenate([
+        (h >> np.uint64(b * bits)) & mask for b in range(n_bands)])
+    return pa.table({
+        "band_id": pa.array(np.repeat(np.arange(n_bands, dtype=np.int32),
+                                      n)),
+        "band_key": pa.array(keys, pa.uint64()),
+        id_col: pa.array(np.tile(
+            batch.column(id_col).to_numpy(zero_copy_only=False), n_bands),
+            pa.int64()),
+        "simhash": pa.array(np.tile(h, n_bands), pa.uint64()),
+    })
+
+
+def simhash_pairs_from_band(g: pd.DataFrame,
+                            max_hamming: int = 3) -> pd.DataFrame:
+    """map_groups fn: verified near-dup pairs within one simhash band
+    bucket (hamming distance computed on the full 64-bit keys carried
+    in the band rows — no second lookup needed)."""
+    sub = g.drop_duplicates("doc_id").sort_values("doc_id")
+    ids = sub["doc_id"].to_numpy()
+    hs = sub["simhash"].to_numpy().astype(np.uint64)
+    if len(ids) < 2:
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64")})
+    a_out, b_out = [], []
+    for i in range(len(ids)):
+        x = hs[i] ^ hs[i + 1:]
+        d = np.array([bin(int(v)).count("1") for v in x])
+        for j in np.nonzero(d <= max_hamming)[0]:
+            a_out.append(int(ids[i]))
+            b_out.append(int(ids[i + 1 + j]))
+    return pd.DataFrame({"a": a_out, "b": b_out})
+
+
+def simhash_neardup(corpus_ds, max_hamming: int = 3, n_bands: int = 4,
+                    id_col: str = "doc_id", text_col: str = "text"):
+    """SimHash near-dup pairs, fully distributed: signatures ->
+    16-bit banding (pigeonhole guarantees recall for hamming <
+    n_bands) -> per-bucket hamming verification -> pair dedup.
+    Only narrow (band, key, id, simhash) rows ever shuffle."""
+    from ray.data.aggregate import Count
+
+    sigs = corpus_ds.map_batches(
+        simhash_stage, batch_format="pyarrow",
+        fn_kwargs={"id_col": id_col, "text_col": text_col})
+    bands = sigs.map_batches(
+        simhash_bands_stage, batch_format="pyarrow",
+        fn_kwargs={"id_col": id_col, "n_bands": n_bands})
+    cand = bands.groupby(["band_id", "band_key"]).map_groups(
+        lambda g: simhash_pairs_from_band(g, max_hamming),
+        batch_format="pandas")
+    return (cand.groupby(["a", "b"])
+            .aggregate(Count(alias_name="_nb"))
+            .select_columns(["a", "b"]))
+
+
 # -- embedding near-dup ------------------------------------------------------
 def embedding_neardup_pairs(emb_table: pa.Table, threshold: float = 0.95,
                             id_col: str = "vec_id") -> pa.Table:

@@ -465,3 +465,28 @@ def test_asof_join_one_sided_keys(ray_session):
                     by="k", on="t", right_cols=["rid"]).to_pandas()
     assert out["rid"].dtype.kind == "i" and out["lid"].dtype.kind == "i"
     assert dict(zip(out["lid"], out["rid"])) == {10: 100}
+
+
+def test_simhash_neardup_pipeline(ray_session):
+    """Planted tiny-edit near-dups are found; unrelated docs are not;
+    result equals the brute-force hamming<=3 pair set."""
+    import ray.data as rd
+
+    from nipper_ray.ops.dedup import hamming64, simhash64, simhash_neardup
+
+    docs = [("common filler words shared across documents plus topic%d "
+             "alpha beta gamma delta epsilon zeta eta " % (i % 9)) * 8
+            for i in range(30)]
+    docs[20] = docs[5] + "one extra token"        # near-dup of 5
+    docs[25] = docs[7]                            # exact dup of 7
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+    got = sorted(map(tuple, simhash_neardup(
+        rd.from_arrow(t), max_hamming=3).to_pandas()[["a", "b"]]
+        .itertuples(index=False)))
+    hs = [simhash64(d) for d in docs]
+    want = sorted((i, j) for i in range(len(docs))
+                  for j in range(i + 1, len(docs))
+                  if hamming64(hs[i], hs[j]) <= 3)
+    assert got == want
+    assert (5, 20) in got and (7, 25) in got
