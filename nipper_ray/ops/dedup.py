@@ -310,6 +310,17 @@ def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (byte-table lookup)."""
+    if len(x) == 0:
+        return np.zeros(0, dtype=np.int64)
+    b = np.ascontiguousarray(x).view(np.uint8).reshape(len(x), 8)
+    return _POP8[b].sum(axis=1).astype(np.int64)
+
+
 def simhash_bands_stage(batch: pa.Table, id_col: str = "doc_id",
                         n_bands: int = 4) -> pa.Table:
     """Explode 64-bit simhashes into (band_id, band_key) rows: two
@@ -345,8 +356,7 @@ def simhash_pairs_from_band(g: pd.DataFrame,
                              "b": pd.Series([], dtype="int64")})
     a_out, b_out = [], []
     for i in range(len(ids)):
-        x = hs[i] ^ hs[i + 1:]
-        d = np.array([bin(int(v)).count("1") for v in x])
+        d = _popcount64(hs[i] ^ hs[i + 1:])
         for j in np.nonzero(d <= max_hamming)[0]:
             a_out.append(int(ids[i]))
             b_out.append(int(ids[i + 1 + j]))
@@ -361,9 +371,18 @@ def simhash_neardup(corpus_ds, max_hamming: int = 3, n_bands: int = 4,
     Only narrow (band, key, id, simhash) rows ever shuffle."""
     from ray.data.aggregate import Count
 
+    import pyarrow.compute as pc
+
     sigs = corpus_ds.map_batches(
         simhash_stage, batch_format="pyarrow",
         fn_kwargs={"id_col": id_col, "text_col": text_col})
+    # tokenless docs all hash to 0: at corpus scale they would share
+    # every band bucket and emit a quadratic pair blowup — exclude
+    # them (mirrors the minhash pipeline's short-doc rule)
+    sigs = sigs.map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("simhash"),
+                                        pa.scalar(0, pa.uint64()))),
+        batch_format="pyarrow")
     bands = sigs.map_batches(
         simhash_bands_stage, batch_format="pyarrow",
         fn_kwargs={"id_col": id_col, "n_bands": n_bands})

@@ -490,3 +490,14 @@ def test_simhash_neardup_pipeline(ray_session):
                   if hamming64(hs[i], hs[j]) <= 3)
     assert got == want
     assert (5, 20) in got and (7, 25) in got
+
+
+def test_popcount64_matches_bin():
+    from nipper_ray.ops.dedup import _popcount64, hamming64
+
+    rng = np.random.RandomState(2)
+    xs = rng.randint(0, 2**63, 500, dtype=np.int64).astype(np.uint64)
+    got = _popcount64(xs)
+    want = [bin(int(x)).count("1") for x in xs]
+    assert got.tolist() == want
+    assert hamming64(0xFF, 0x0F) == 4
