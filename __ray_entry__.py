@@ -326,15 +326,16 @@ def q_segment_revenue(sf_dir: str):
                          columns=["c_custkey", "c_mktsegment"])
     seg_of = dict(zip(cust.column("c_custkey").to_pylist(),
                       cust.column("c_mktsegment").to_pylist()))
+    from nipper_ray.ops.join import broadcast_map
+
     ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
                          columns=["o_custkey", "o_totalprice"])
+    ds = broadcast_map(ds, seg_of, "o_custkey", "c_mktsegment")
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df["c_mktsegment"] = df.o_custkey.map(seg_of)
-        g = df.groupby("c_mktsegment", as_index=False).agg(
+        return df.groupby("c_mktsegment", as_index=False).agg(
             revenue=("o_totalprice", "sum"),
             n_orders=("o_totalprice", "count"))
-        return g
 
     partials = ds.map_batches(partial, batch_format="pandas",
                               batch_size=32768)
