@@ -36,3 +36,25 @@ def test_crawl_actor_mode(ray_session):
         extract_concurrency=1, fixtures_dir=FIXTURES)
     assert metrics[0]["pages_fetched"] > 0
     assert metrics[0]["outlinks_discovered"] > 0
+
+
+def test_ann_actor_mode_matches_stateless(ray_session):
+    """use_actors=True ANN path returns the identical top-k table."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from nipper_ray.ops.similarity import brute_force_topk
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    t = t.filter(pc.less(t.column("vec_id"), pa.scalar(3)))
+    qref = ray.put({"ids": t.column("vec_id").to_pylist(),
+                    "vectors": t.column("embedding").to_pylist()})
+    a = brute_force_topk(ds, qref, k=5, use_actors=False)
+    b = brute_force_topk(ds, qref, k=5, concurrency=1, use_actors=True)
+    assert a.to_pylist() == b.to_pylist()
