@@ -231,10 +231,45 @@ def _crawl_wave_oracle_sql() -> str:
                 SELECT *, row_number() OVER (PARTITION BY host
                                              ORDER BY url) AS rn
                 FROM w1_cand) WHERE rn <= 30
+            ORDER BY url LIMIT 100),
+        tgts2 AS (
+            SELECT (d.tgt * 7919 + g.i * 104729 + g.i * g.i)
+                       %% n.n_docs AS tgt
+            FROM w1_sel d, generate_series(0, 7) g(i), n
+            WHERE d.tgt IS NOT NULL
+            UNION ALL
+            SELECT (tgt + 1) %% n.n_docs FROM w1_sel, n
+            WHERE tgt IS NOT NULL
+            UNION ALL
+            SELECT (tgt * 7919) %% n.n_docs FROM w1_sel, n
+            WHERE tgt IS NOT NULL),
+        link_urls2 AS (
+            SELECT DISTINCT
+                   'https://' || %(host_t)s || '/doc/'
+                       || CAST(tgt AS VARCHAR) AS url,
+                   %(host_t)s AS host, tgt, %(title_t)s AS title
+            FROM tgts2
+            UNION
+            SELECT DISTINCT 'https://' || host || '/' AS url,
+                   host, CAST(NULL AS BIGINT) AS tgt, '' AS title
+            FROM w1_sel WHERE tgt IS NOT NULL),
+        w2_cand AS (
+            SELECT l.* FROM link_urls2 l JOIN hd ON l.host = hd.host
+            WHERE (l.tgt IS NULL
+                   OR substr(CAST(l.tgt AS VARCHAR), 1, 1) <> hd.digit)
+              AND l.url NOT IN (SELECT url FROM w0_allowed
+                                UNION SELECT url FROM w1_cand)),
+        w2_sel AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY host
+                                             ORDER BY url) AS rn
+                FROM w2_cand) WHERE rn <= 30
             ORDER BY url LIMIT 100)
         SELECT url, host, CAST(0 AS INTEGER) AS depth, title FROM w0_sel
         UNION ALL
         SELECT url, host, CAST(1 AS INTEGER) AS depth, title FROM w1_sel
+        UNION ALL
+        SELECT url, host, CAST(2 AS INTEGER) AS depth, title FROM w2_sel
     """ % {"host": _SYNTH_HOST_SQL, "title": _SYNTH_TITLE_SQL,
            "digits": digit_rows, "host_t": host_t, "title_t": title_t}
 
@@ -954,14 +989,15 @@ def q_readability(sf_dir: str):
 
 
 def q_crawl_wave(sf_dir: str):
-    """TWO full frontier waves end-to-end (robots + cuckoo dedup +
+    """THREE full frontier waves end-to-end (robots + cuckoo dedup +
     politeness + fetch + link extraction + checkpoint).  The fetch set
-    of BOTH waves is re-derived independently in SQL over the
+    of ALL waves is re-derived independently in SQL over the
     deterministic link graph (see _crawl_wave_oracle_sql), putting
-    seed selection, robots, outlink extraction, cross-wave dedup and
-    second-wave politeness all under the driver's hash gate.  Failed
-    fetches (the /-path home links pages link to) stay as rows with
-    empty titles — they are part of the contract."""
+    seed selection, robots, outlink extraction, cross-wave dedup
+    (including the subtle rule that probe-inserted-but-politeness-cut
+    candidates are never re-fetched) and per-wave politeness under the
+    driver's hash gate.  Failed fetches (the /-path home links pages
+    link to) stay as rows with empty titles — part of the contract."""
     import shutil
     import tempfile
 
@@ -973,9 +1009,9 @@ def q_crawl_wave(sf_dir: str):
     out = os.path.join(tempfile.gettempdir(), "nipper_q_crawl")
     shutil.rmtree(out, ignore_errors=True)
     run_crawl(sf_dir, out, [page_url(i) for i in range(0, 120, 3)],
-              waves=2, wave_budget=100, per_host_budget=30, num_shards=4)
+              waves=3, wave_budget=100, per_host_budget=30, num_shards=4)
     parts = []
-    for k in (0, 1):
+    for k in (0, 1, 2):
         d = os.path.join(out, "pages", "wave=%d" % k)
         parts += [
             pq.read_table(os.path.join(d, f),
