@@ -126,6 +126,64 @@ def read_warc(paths):
     return ds.map_batches(split, batch_format="pyarrow", batch_size=1)
 
 
+def _iso_from_ms(ms: int) -> str:
+    import time as _time
+
+    t = _time.gmtime((ms or 0) // 1000)
+    return ("%04d-%02d-%02dT%02d:%02d:%02dZ"
+            % (t.tm_year, t.tm_mon, t.tm_mday,
+               t.tm_hour, t.tm_min, t.tm_sec))
+
+
+def write_warc_shards(pages_ds, out_dir: str,
+                      gzip_members: bool = True,
+                      batch_size: int = 512):
+    """Distributed WARC sink: each task serializes its batch of pages
+    (url, warc_ts, html) into ONE .warc[.gz] member file — the archival
+    shape of a crawl (sharded output, one file per block, so a failed
+    run can diff finished shards).  File names are content-addressed
+    (md5 of the url list), so re-running a batch overwrites its own
+    shard idempotently instead of duplicating records; writes are
+    tmp+rename atomic.  Returns a Dataset of (path, n_records) rows —
+    consume it (count/take) to drive the write."""
+    import hashlib
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_batch(t: pa.Table) -> pa.Table:
+        import gzip as _gzip
+
+        urls = t.column("url").to_pylist()
+        tss = t.column("warc_ts").to_pylist()
+        htmls = t.column("html").to_pylist()
+        recs = []
+        for url, ts, html in zip(urls, tss, htmls):
+            ms = int(ts.timestamp() * 1000) if hasattr(ts, "timestamp") \
+                else int(ts or 0)
+            body = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                    b"\r\n" + (html or b""))
+            rec = (b"WARC/1.0\r\n"
+                   b"WARC-Type: response\r\n"
+                   b"WARC-Target-URI: " + url.encode() + b"\r\n"
+                   b"WARC-Date: " + _iso_from_ms(ms).encode() + b"\r\n"
+                   b"Content-Length: " + str(len(body)).encode()
+                   + b"\r\n\r\n" + body + b"\r\n\r\n")
+            recs.append(_gzip.compress(rec) if gzip_members else rec)
+        tag = hashlib.md5("\n".join(urls).encode()).hexdigest()[:16]
+        name = "shard-%s.warc%s" % (tag, ".gz" if gzip_members else "")
+        path = os.path.join(out_dir, name)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(b"".join(recs))
+        os.replace(tmp, path)
+        return pa.table({"path": pa.array([path], pa.string()),
+                         "n_records": pa.array([len(t)], pa.int64())})
+
+    return pages_ds.map_batches(write_batch, batch_format="pyarrow",
+                                batch_size=batch_size)
+
+
 # -- deterministic WARC synthesis (tests / demos) ---------------------------
 def write_warc(path: str, pages, gzip_members: bool = False) -> None:
     """pages: iterable of (url, date_iso, html_bytes)."""
