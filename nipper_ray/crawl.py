@@ -49,6 +49,9 @@ def main(argv=None):
     ap.add_argument("--curate", action="store_true",
                     help="after the waves: dedup + quality-filter the "
                          "extracted text into <out>/curated/ parquet")
+    ap.add_argument("--warc-out", default=None,
+                    help="archive raw fetched html as sharded .warc.gz "
+                         "under this dir (tee between fetch and extract)")
     args = ap.parse_args(argv)
 
     import ray
@@ -70,6 +73,7 @@ def main(argv=None):
         resume=args.resume, num_shards=args.num_shards,
         per_host_budget=args.per_host_budget,
         wave_budget=args.wave_budget, use_actors=args.use_actors,
+        warc_dir=args.warc_out,
         fixtures_dir=fixtures if os.path.isdir(fixtures) else None)
     for m in metrics:
         # lineage lives in the checkpoint manifest; keep stdout concise

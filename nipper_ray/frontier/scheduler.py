@@ -220,7 +220,7 @@ class CrawlJob:
                  shard_capacity: int = 1 << 20, limit=None,
                  extract_concurrency=4, fixtures_dir=None,
                  pool_size: int = 2, actor_cpus: float = 1.0,
-                 use_actors: bool = False):
+                 use_actors: bool = False, warc_dir=None):
         self.sf_dir = sf_dir
         self.out_dir = out_dir
         self.num_shards = num_shards
@@ -232,6 +232,7 @@ class CrawlJob:
         self.pool_size = pool_size
         self.actor_cpus = actor_cpus
         self.use_actors = use_actors
+        self.warc_dir = warc_dir
         self.seen = SeenSet(num_shards, shard_capacity)
         self.texts_ref, self.n_docs = put_doc_texts(sf_dir, limit=limit)
 
@@ -263,6 +264,19 @@ class CrawlJob:
             self.seen.restore_from(
                 ckpt.shard_paths(self._ckpt_dir(k), self.num_shards))
         return k + 1
+
+    def _maybe_archive(self, wave, k: int):
+        """Optional WARC tee between fetch and extract: raw html is
+        archived as sharded .warc.gz exactly where a production crawler
+        writes its archive, while the pipeline keeps streaming."""
+        if self.warc_dir is None:
+            return wave
+        from ..sources.warc import WarcArchiveStage
+
+        return wave.map_batches(
+            WarcArchiveStage(os.path.join(self.warc_dir,
+                                          "wave=%d" % k)),
+            batch_format="pyarrow", batch_size=256)
 
     def run_wave(self, k: int) -> dict:
         import ray.data as rd
@@ -299,6 +313,7 @@ class CrawlJob:
                     "doc_texts_ref": self.texts_ref, "n_docs": self.n_docs,
                     "fixtures_dir": self.fixtures_dir},
                 concurrency=self.pool_size, num_cpus=self.actor_cpus)
+            wave = self._maybe_archive(wave, k)
             wave = wave.map_batches(
                 ExtractStage, batch_format="pyarrow", batch_size=32,
                 fn_constructor_kwargs={"rules": CRAWL_RULES,
@@ -318,6 +333,7 @@ class CrawlJob:
                 SynthFetchStage(self.texts_ref, self.n_docs,
                                 self.fixtures_dir),
                 batch_format="pyarrow", batch_size=256)
+            wave = self._maybe_archive(wave, k)
             wave = wave.map_batches(
                 ExtractStage(rules=CRAWL_RULES, keep_cols=keep),
                 batch_format="pyarrow", batch_size=128)

@@ -146,42 +146,68 @@ def write_warc_shards(pages_ds, out_dir: str,
     shard idempotently instead of duplicating records; writes are
     tmp+rename atomic.  Returns a Dataset of (path, n_records) rows —
     consume it (count/take) to drive the write."""
-    import hashlib
     import os
 
     os.makedirs(out_dir, exist_ok=True)
 
     def write_batch(t: pa.Table) -> pa.Table:
-        import gzip as _gzip
-
-        urls = t.column("url").to_pylist()
-        tss = t.column("warc_ts").to_pylist()
-        htmls = t.column("html").to_pylist()
-        recs = []
-        for url, ts, html in zip(urls, tss, htmls):
-            ms = int(ts.timestamp() * 1000) if hasattr(ts, "timestamp") \
-                else int(ts or 0)
-            body = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
-                    b"\r\n" + (html or b""))
-            rec = (b"WARC/1.0\r\n"
-                   b"WARC-Type: response\r\n"
-                   b"WARC-Target-URI: " + url.encode() + b"\r\n"
-                   b"WARC-Date: " + _iso_from_ms(ms).encode() + b"\r\n"
-                   b"Content-Length: " + str(len(body)).encode()
-                   + b"\r\n\r\n" + body + b"\r\n\r\n")
-            recs.append(_gzip.compress(rec) if gzip_members else rec)
-        tag = hashlib.md5("\n".join(urls).encode()).hexdigest()[:16]
-        name = "shard-%s.warc%s" % (tag, ".gz" if gzip_members else "")
-        path = os.path.join(out_dir, name)
-        tmp = path + ".tmp"
-        with open(tmp, "wb") as f:
-            f.write(b"".join(recs))
-        os.replace(tmp, path)
+        path = _write_one_shard(t, out_dir, gzip_members)
         return pa.table({"path": pa.array([path], pa.string()),
                          "n_records": pa.array([len(t)], pa.int64())})
 
     return pages_ds.map_batches(write_batch, batch_format="pyarrow",
                                 batch_size=batch_size)
+
+
+def _write_one_shard(t: pa.Table, out_dir: str,
+                     gzip_members: bool) -> str:
+    import gzip as _gzip
+    import hashlib
+    import os
+
+    urls = t.column("url").to_pylist()
+    tss = t.column("warc_ts").to_pylist()
+    htmls = t.column("html").to_pylist()
+    recs = []
+    for url, ts, html in zip(urls, tss, htmls):
+        ms = int(ts.timestamp() * 1000) if hasattr(ts, "timestamp") \
+            else int(ts or 0)
+        body = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                b"\r\n" + (html or b""))
+        rec = (b"WARC/1.0\r\n"
+               b"WARC-Type: response\r\n"
+               b"WARC-Target-URI: " + url.encode() + b"\r\n"
+               b"WARC-Date: " + _iso_from_ms(ms).encode() + b"\r\n"
+               b"Content-Length: " + str(len(body)).encode()
+               + b"\r\n\r\n" + body + b"\r\n\r\n")
+        recs.append(_gzip.compress(rec) if gzip_members else rec)
+    tag = hashlib.md5("\n".join(urls).encode()).hexdigest()[:16]
+    name = "shard-%s.warc%s" % (tag, ".gz" if gzip_members else "")
+    path = os.path.join(out_dir, name)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(b"".join(recs))
+    os.replace(tmp, path)
+    return path
+
+
+class WarcArchiveStage:
+    """Pass-through archiving tee: writes each batch as one WARC shard
+    (same format/idempotence as write_warc_shards) and returns the
+    batch unchanged — slot it between fetch and extract so raw html is
+    archived exactly once while the pipeline keeps streaming."""
+
+    def __init__(self, out_dir: str, gzip_members: bool = True):
+        import os
+
+        os.makedirs(out_dir, exist_ok=True)
+        self.out_dir = out_dir
+        self.gzip_members = gzip_members
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch):
+            _write_one_shard(batch, self.out_dir, self.gzip_members)
+        return batch
 
 
 # -- deterministic WARC synthesis (tests / demos) ---------------------------

@@ -170,3 +170,24 @@ def test_curate_crawl_output(crawl_a):
         by_md5.setdefault(k, []).append(u)
     want = sorted(min(v) for v in by_md5.values())
     assert sorted(urls) == want
+
+
+def test_crawl_warc_archive_tee(ray_session):
+    """--warc-out tee: every fetched page's raw html is archived as
+    WARC and readable back; the extracted pages output is unchanged."""
+    import glob
+
+    from nipper_ray.frontier.scheduler import run_crawl
+    from nipper_ray.sources.warc import read_warc
+
+    out = "/tmp/crawl_warc_tee"
+    warc = os.path.join(out, "warc")
+    shutil.rmtree(out, ignore_errors=True)
+    m = run_crawl(SF, out, _seeds(), waves=1, warc_dir=warc, **KW)
+    fetched = {r["url"] for r in _fetched(out, 0)}
+    files = glob.glob(os.path.join(warc, "wave=0", "*.warc.gz"))
+    assert files
+    back = read_warc(files).to_pandas()
+    assert set(back["url"]) == fetched == {
+        u for u in set(back["url"])}
+    assert m[0]["pages_fetched"] == len(back)
