@@ -312,39 +312,48 @@ def q_pricing_summary(sf_dir: str):
     cutoff = pa.scalar(np.datetime64("1998-09-02", "us"))
 
     def partial(t: pa.Table) -> pa.Table:
-        # Arrow-native batch-local pre-aggregation: filter + compute +
-        # hash group_by without leaving the Arrow memory format
+        # Arrow-native batch-local pre-aggregation.  Money columns sum
+        # as EXACT integer cents (each term rounded identically on
+        # both sides) — at 10^8+ rows a float accumulation differs
+        # from DuckDB's summation order in the 2nd decimal, so float
+        # sums of money are not scale-stable (found at sf0.1)
         t = t.filter(pc.less_equal(t.column("l_shipdate"), cutoff))
         disc = pc.multiply(t.column("l_extendedprice"),
                            pc.subtract(pa.scalar(1.0),
                                        t.column("l_discount")))
+        to_cents = lambda col: pc.cast(
+            pc.round(pc.multiply(col, pa.scalar(100.0)),
+                     round_mode="half_towards_infinity"), pa.int64())
         g = pa.table({
             "l_returnflag": t.column("l_returnflag"),
             "l_linestatus": t.column("l_linestatus"),
             "l_quantity": t.column("l_quantity"),
-            "l_extendedprice": t.column("l_extendedprice"),
-            "disc_price": disc,
+            "base_cents": to_cents(t.column("l_extendedprice")),
+            "disc_cents": to_cents(disc),
         }).group_by(["l_returnflag", "l_linestatus"]).aggregate([
-            ("l_quantity", "sum"), ("l_extendedprice", "sum"),
-            ("disc_price", "sum"), ("l_quantity", "count")])
+            ("l_quantity", "sum"), ("base_cents", "sum"),
+            ("disc_cents", "sum"), ("l_quantity", "count")])
         return g.rename_columns(
             ["l_returnflag", "l_linestatus", "sum_qty",
-             "sum_base_price", "sum_disc_price", "count_order"])
+             "base_cents", "disc_cents", "count_order"])
 
     partials = ds.map_batches(partial, batch_format="pyarrow",
                               batch_size=32768)
     agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
         Sum("sum_qty", alias_name="sum_qty"),
-        Sum("sum_base_price", alias_name="sum_base_price"),
-        Sum("sum_disc_price", alias_name="sum_disc_price"),
+        Sum("base_cents", alias_name="base_cents"),
+        Sum("disc_cents", alias_name="disc_cents"),
         Sum("count_order", alias_name="count_order"))
 
     def finalize(df: "pd.DataFrame") -> "pd.DataFrame":
+        # sum_qty is a float sum of INTEGRAL values -> exact
         df["avg_qty"] = (df.sum_qty / df.count_order).round(6)
         df["sum_qty"] = df.sum_qty.round(2)
-        df["sum_base_price"] = df.sum_base_price.round(2)
-        df["sum_disc_price"] = df.sum_disc_price.round(2)
-        return df
+        df["sum_base_price"] = (df.base_cents / 100.0).round(2)
+        df["sum_disc_price"] = (df.disc_cents / 100.0).round(2)
+        return df[["l_returnflag", "l_linestatus", "sum_qty",
+                   "sum_base_price", "sum_disc_price", "count_order",
+                   "avg_qty"]]
 
     return agg.map_batches(finalize, batch_format="pandas")
 
@@ -368,17 +377,20 @@ def q_segment_revenue(sf_dir: str):
     ds = broadcast_map(ds, seg_of, "o_custkey", "c_mktsegment")
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # money sums in exact integer cents (scale-stable vs the
+        # oracle's summation order — see pricing_summary)
+        df["cents"] = (df.o_totalprice * 100).round().astype("int64")
         return df.groupby("c_mktsegment", as_index=False).agg(
-            revenue=("o_totalprice", "sum"),
-            n_orders=("o_totalprice", "count"))
+            cents=("cents", "sum"), n_orders=("cents", "count"))
 
     partials = ds.map_batches(partial, batch_format="pandas",
                               batch_size=32768)
     agg = partials.groupby("c_mktsegment").aggregate(
-        Sum("revenue", alias_name="revenue"),
+        Sum("cents", alias_name="cents"),
         Sum("n_orders", alias_name="n_orders"))
     return agg.map_batches(
-        lambda df: df.assign(revenue=df.revenue.round(2)),
+        lambda df: df.assign(revenue=(df.cents / 100.0).round(2))
+        [["c_mktsegment", "revenue", "n_orders"]],
         batch_format="pandas")
 
 
@@ -440,9 +452,14 @@ def q_region_revenue(sf_dir: str):
         revenue = pc.multiply(
             t.column("l_extendedprice"),
             pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        # exact integer cents: scale-stable money sums (see
+        # pricing_summary)
+        cents = pc.cast(
+            pc.round(pc.multiply(revenue, pa.scalar(100.0)),
+                     round_mode="half_towards_infinity"), pa.int64())
         return pa.table({"l_orderkey": t.column("l_orderkey"),
                          "s_nation": t.column("s_nation"),
-                         "revenue": revenue})
+                         "rev_cents": cents})
 
     orders = rd.read_parquet(
         os.path.join(sf_dir, "orders.parquet"),
@@ -464,13 +481,14 @@ def q_region_revenue(sf_dir: str):
         df = t.to_pandas()
         df["n_name"] = names
         g = df.groupby("n_name", as_index=False).agg(
-            revenue=("revenue", "sum"))
+            rev_cents=("rev_cents", "sum"))
         return pa.Table.from_pandas(g)
 
     agg = j.map_batches(partial, batch_format="pyarrow").groupby(
-        "n_name").aggregate(Sum("revenue", alias_name="revenue"))
+        "n_name").aggregate(Sum("rev_cents", alias_name="rev_cents"))
     return agg.map_batches(
-        lambda df: df.assign(revenue=df.revenue.round(2)),
+        lambda df: df.assign(revenue=(df.rev_cents / 100.0).round(2))
+        [["n_name", "revenue"]],
         batch_format="pandas")
 
 
@@ -1076,9 +1094,13 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2)
-                       AS sum_disc_price,
+                   round(CAST(sum(CAST(round(l_extendedprice * 100)
+                                       AS BIGINT)) AS DOUBLE)
+                         / 100.0, 2) AS sum_base_price,
+                   round(CAST(sum(CAST(round(l_extendedprice
+                                             * (1 - l_discount) * 100)
+                                       AS BIGINT)) AS DOUBLE)
+                         / 100.0, 2) AS sum_disc_price,
                    count(*) AS count_order,
                    round(sum(l_quantity) / count(*), 6) AS avg_qty
             FROM lineitem
@@ -1087,15 +1109,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "segment_revenue": """
             SELECT c_mktsegment,
-                   round(sum(o_totalprice), 2) AS revenue,
+                   round(CAST(sum(CAST(round(o_totalprice * 100)
+                                       AS BIGINT)) AS DOUBLE)
+                         / 100.0, 2) AS revenue,
                    count(*) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
         """,
         "region_revenue": """
             SELECT n_name,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2)
-                       AS revenue
+                   round(CAST(sum(CAST(round(l_extendedprice
+                                             * (1 - l_discount) * 100)
+                                       AS BIGINT)) AS DOUBLE)
+                         / 100.0, 2) AS revenue
             FROM customer, orders, lineitem, supplier, nation, region
             WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
               AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
