@@ -282,6 +282,22 @@ def _rd():
     return rd
 
 
+def _add_micros(t: pa.Table, value_col: str = "value") -> pa.Table:
+    """Exact fixed-point micro-units of a float column: money-style
+    sums of full-precision doubles are not scale-stable (partial-sum
+    order vs the oracle's), so sums run over int64 micros rounded
+    identically on both sides and divide once at the end."""
+    m = pc.cast(
+        pc.round(pc.multiply(t.column(value_col), pa.scalar(1e6)),
+                 round_mode="half_towards_infinity"), pa.int64())
+    return t.append_column("micros", m)
+
+
+_SUM_MICROS_SQL = ("round(CAST(sum(CAST(round(value * 1000000) "
+                   "AS BIGINT)) AS DOUBLE) / 1000000.0, 6) "
+                   "AS sum_value")
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -500,13 +516,14 @@ def q_top_users(sf_dir: str):
     ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
                          columns=["user_id", "event_type", "value"])
     ds = ds.map_batches(
-        lambda t: t.filter(pc.equal(t.column("event_type"),
-                                    pa.scalar("click"))),
+        lambda t: _add_micros(t.filter(
+            pc.equal(t.column("event_type"), pa.scalar("click")))),
         batch_format="pyarrow")
     agg = ds.groupby("user_id").aggregate(
-        Count(alias_name="n_clicks"), Sum("value", alias_name="sum_value"))
+        Count(alias_name="n_clicks"), Sum("micros", alias_name="micros"))
     agg = agg.map_batches(
-        lambda df: df.assign(sum_value=df.sum_value.round(6)),
+        lambda df: df.assign(sum_value=(df.micros / 1e6).round(6))
+        [["user_id", "n_clicks", "sum_value"]],
         batch_format="pandas")
     return agg.sort(["n_clicks", "user_id"],
                     descending=[True, False]).limit(10)
@@ -522,14 +539,15 @@ def q_hourly_windows(sf_dir: str):
                          columns=["event_type", "ts", "value"])
 
     def add_hour(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "hour", pc.floor_temporal(t.column("ts"), unit="hour"))
+        return _add_micros(t.append_column(
+            "hour", pc.floor_temporal(t.column("ts"), unit="hour")))
 
     ds = ds.map_batches(add_hour, batch_format="pyarrow")
     agg = ds.groupby(["event_type", "hour"]).aggregate(
-        Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+        Count(alias_name="n"), Sum("micros", alias_name="micros"))
     return agg.map_batches(
-        lambda df: df.assign(sum_value=df.sum_value.round(6)),
+        lambda df: df.assign(sum_value=(df.micros / 1e6).round(6))
+        [["event_type", "hour", "n", "sum_value"]],
         batch_format="pandas")
 
 
@@ -580,11 +598,14 @@ def q_value_bands(sf_dir: str):
                          columns=["event_type", "value"])
     bands = [(0.0, 20.0, "low"), (10.0, 50.0, "mid"),
              (40.0, 100.0, "high"), (0.0, 100.0, "all")]
-    j = range_join_broadcast(ds, bands, value_col="value")
+    j = range_join_broadcast(ds.map_batches(_add_micros,
+                                            batch_format="pyarrow"),
+                             bands, value_col="value")
     agg = j.groupby(["event_type", "band"]).aggregate(
-        Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+        Count(alias_name="n"), Sum("micros", alias_name="micros"))
     return agg.map_batches(
-        lambda df: df.assign(sum_value=df.sum_value.round(6)),
+        lambda df: df.assign(sum_value=(df.micros / 1e6).round(6))
+        [["event_type", "band", "n", "sum_value"]],
         batch_format="pandas")
 
 
@@ -648,8 +669,9 @@ def q_sliding_windows(sf_dir: str):
 
     def expand(t: pa.Table) -> pa.Table:
         w = pc.floor_temporal(t.column("ts"), multiple=30, unit="minute")
-        base = pa.table({"event_type": t.column("event_type"),
-                         "value": t.column("value")})
+        base = _add_micros(pa.table({
+            "event_type": t.column("event_type"),
+            "value": t.column("value")}))
         return pa.concat_tables([
             base.append_column("w_start", w),
             base.append_column("w_start", pc.subtract(w, half)),
@@ -657,9 +679,10 @@ def q_sliding_windows(sf_dir: str):
 
     ds = ds.map_batches(expand, batch_format="pyarrow")
     agg = ds.groupby(["event_type", "w_start"]).aggregate(
-        Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+        Count(alias_name="n"), Sum("micros", alias_name="micros"))
     return agg.map_batches(
-        lambda df: df.assign(sum_value=df.sum_value.round(6)),
+        lambda df: df.assign(sum_value=(df.micros / 1e6).round(6))
+        [["event_type", "w_start", "n", "sum_value"]],
         batch_format="pandas")
 
 
@@ -1133,14 +1156,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "top_users": """
             SELECT user_id, count(*) AS n_clicks,
-                   round(sum(value), 6) AS sum_value
+                   round(CAST(sum(CAST(round(value * 1000000) AS BIGINT))
+                         AS DOUBLE) / 1000000.0, 6) AS sum_value
             FROM events WHERE event_type = 'click'
             GROUP BY user_id
             ORDER BY n_clicks DESC, user_id LIMIT 10
         """,
         "hourly_windows": """
             SELECT event_type, date_trunc('hour', ts) AS hour,
-                   count(*) AS n, round(sum(value), 6) AS sum_value
+                   count(*) AS n, round(CAST(sum(CAST(round(value * 1000000) AS BIGINT))
+                         AS DOUBLE) / 1000000.0, 6) AS sum_value
             FROM events GROUP BY event_type, hour
         """,
         "session_windows": """
@@ -1173,7 +1198,8 @@ def oracle_sql() -> dict[str, str]:
                            - INTERVAL 30 MINUTE
                 FROM events)
             SELECT event_type, w_start, count(*) AS n,
-                   round(sum(value), 6) AS sum_value
+                   round(CAST(sum(CAST(round(value * 1000000) AS BIGINT))
+                         AS DOUBLE) / 1000000.0, 6) AS sum_value
             FROM e2 GROUP BY event_type, w_start
         """,
         "top_events_per_user": """
@@ -1199,7 +1225,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "value_bands": """
             SELECT event_type, band, count(*) AS n,
-                   round(sum(value), 6) AS sum_value
+                   round(CAST(sum(CAST(round(value * 1000000) AS BIGINT))
+                         AS DOUBLE) / 1000000.0, 6) AS sum_value
             FROM events
             JOIN (VALUES (0.0, 20.0, 'low'), (10.0, 50.0, 'mid'),
                          (40.0, 100.0, 'high'), (0.0, 100.0, 'all'))
