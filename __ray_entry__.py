@@ -821,6 +821,26 @@ def q_curate(sf_dir: str):
                   min_stop_ppm=50_000)
 
 
+def q_hash_sample(sf_dir: str):
+    """Deterministic content-hash sampling (the reproducible way to
+    subsample a training corpus — unlike RNG sampling it is stable
+    across engines, runs and partitionings): keep documents whose
+    md5(text) falls below a fixed threshold (~1/4 here)."""
+    import hashlib
+
+    rd = _rd()
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        mask = [hashlib.md5((s or "").encode("utf-8")).hexdigest()
+                < "40000000"
+                for s in t.column("text").to_pylist()]
+        return t.filter(pa.array(mask, pa.bool_())).select(["doc_id"])
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def q_fingerprint(sf_dir: str):
     from nipper_ray.ops.textstats import fingerprint
 
@@ -1094,6 +1114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": q_quality,
         "normalize": q_normalize,
         "curate": q_curate,
+        "hash_sample": q_hash_sample,
         "fingerprint": q_fingerprint,
         "langid": q_langid,
         "exact_dedup": q_exact_dedup,
@@ -1272,6 +1293,10 @@ def oracle_sql() -> dict[str, str]:
         """ % STOPWORDS_SQL,
         "fingerprint": """
             SELECT doc_id, md5(text) AS fp_md5 FROM documents
+        """,
+        "hash_sample": """
+            SELECT doc_id FROM documents
+            WHERE md5(text) < '40000000'
         """,
         "normalize": r"""
             SELECT doc_id,
