@@ -56,6 +56,7 @@ class RobotsFilterStage:
         paths = pc.struct_field(parts, "p").to_pylist()
         cache = self.cache
         mask = []
+        delays = []
         for u, h, p in zip(batch.column(self.url_col).to_pylist(),
                            hosts, paths):
             if h is None:
@@ -74,8 +75,15 @@ class RobotsFilterStage:
                     h = h.split(":", 1)[0]
                 h = h.lower()
                 p = p or ""
-            mask.append(cache.allowed(h, p))
-        return batch.filter(pa.array(mask, pa.bool_()))
+            ok = cache.allowed(h, p)
+            mask.append(ok)
+            if ok:
+                delays.append(cache.delay_for(h) or 0.0)
+        out = batch.filter(pa.array(mask, pa.bool_()))
+        # surfaced for the politeness stage: Crawl-delay becomes a
+        # deterministic per-wave token cap (see select_wave)
+        return out.append_column("crawl_delay_s",
+                                 pa.array(delays, pa.float64()))
 
 
 def add_salt(batch: pa.Table, num_salts: int = SALT_N) -> pa.Table:
@@ -84,19 +92,30 @@ def add_salt(batch: pa.Table, num_salts: int = SALT_N) -> pa.Table:
     return batch.append_column("salt", pa.array(salt, pa.int32()))
 
 
-def top_b_per_group(budget: int):
-    """map_groups fn: deterministic (priority desc, url asc) head-B."""
+def top_b_per_group(budget: int, wave_period_s: float = 300.0):
+    """map_groups fn: deterministic (priority desc, url asc) head-B.
+
+    A robots ``Crawl-delay`` (surfaced by RobotsFilterStage as the
+    ``crawl_delay_s`` column) tightens the host's cap to the number of
+    polite requests that fit one wave period: min(B, wave_period/d) —
+    a wall-clock-free token model, so parity runs stay reproducible."""
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:
+        eff = budget
+        if "crawl_delay_s" in g.columns and len(g):
+            d = float(g["crawl_delay_s"].iloc[0])
+            if d > 0:
+                eff = min(budget, max(1, int(wave_period_s // d)))
         g = g.sort_values(["priority", "url"],
                           ascending=[False, True], kind="mergesort")
-        return g.head(budget)
+        return g.head(eff)
 
     return fn
 
 
 def select_wave(frontier_ds, per_host_budget: int, wave_budget: int,
-                num_salts: int = SALT_N, salted: bool = True):
+                num_salts: int = SALT_N, salted: bool = True,
+                wave_period_s: float = 300.0):
     """Politeness + priority selection over a deduped frontier Dataset.
 
     Groupby shuffle(s) + one global sort/limit; all ordering keys are
@@ -110,11 +129,13 @@ def select_wave(frontier_ds, per_host_budget: int, wave_budget: int,
         ds = frontier_ds.map_batches(
             lambda t: add_salt(t, num_salts), batch_format="pyarrow")
         ds = ds.groupby(["host", "salt"]).map_groups(
-            top_b_per_group(per_host_budget), batch_format="pandas")
+            top_b_per_group(per_host_budget, wave_period_s),
+            batch_format="pandas")
         ds = ds.drop_columns(["salt"])
     else:
         ds = frontier_ds
     ds = ds.groupby("host").map_groups(
-        top_b_per_group(per_host_budget), batch_format="pandas")
+        top_b_per_group(per_host_budget, wave_period_s),
+        batch_format="pandas")
     ds = ds.sort(["priority", "url"], descending=[True, False])
     return ds.limit(wave_budget)

@@ -99,12 +99,13 @@ def crawl_delay(text: str, agent: str = "*"):
 
 
 class RobotsRules:
-    __slots__ = ("rules",)
+    __slots__ = ("rules", "crawl_delay")
 
-    def __init__(self, rules):
+    def __init__(self, rules, crawl_delay=None):
         # normalize legacy plain-prefix lists to (prefix, is_allow)
         self.rules = tuple(
             r if isinstance(r, tuple) else (r, False) for r in rules)
+        self.crawl_delay = crawl_delay  # seconds or None
 
     def allowed(self, path: str) -> bool:
         """Longest-match precedence: the most specific matching rule
@@ -121,19 +122,25 @@ class RobotsRules:
 
 
 class RobotsCache:
-    """Per-worker/actor cache: one fetch+parse per host."""
+    """Per-worker/actor cache: one fetch+parse per host.  ``fetcher``
+    is injectable for tests / a production HTTP fetcher."""
 
-    def __init__(self, agent: str = "*"):
+    def __init__(self, agent: str = "*", fetcher=None):
         self.agent = agent
+        self.fetcher = fetcher or fetch_robots_txt
         self._rules: dict = {}
 
     def rules_for(self, host: str) -> RobotsRules:
         r = self._rules.get(host)
         if r is None:
-            r = RobotsRules(parse_robots_txt(fetch_robots_txt(host),
-                                             self.agent))
+            txt = self.fetcher(host)
+            r = RobotsRules(parse_robots_txt(txt, self.agent),
+                            crawl_delay=crawl_delay(txt, self.agent))
             self._rules[host] = r
         return r
 
     def allowed(self, host: str, path: str) -> bool:
         return self.rules_for(host).allowed(path)
+
+    def delay_for(self, host: str):
+        return self.rules_for(host).crawl_delay

@@ -72,3 +72,50 @@ def test_deterministic_across_runs(frontier_ds):
     a = _rows(select_wave(frontier_ds, 25, 80))
     b = _rows(select_wave(frontier_ds, 25, 80))
     assert a == b
+
+
+def test_crawl_delay_caps_wave_budget(ray_session):
+    """A host advertising Crawl-delay gets its per-wave cap tightened
+    to wave_period/delay requests (deterministic token model, no wall
+    clock); hosts without a delay keep the full budget."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from nipper_ray.frontier.politeness import (RobotsFilterStage,
+                                                select_wave)
+    from nipper_ray.frontier.hashing import xxh64_str
+
+    def fetcher(host):
+        if host == "slow.example.com":
+            return "User-agent: *\nCrawl-delay: 60\n"
+        return "User-agent: *\nDisallow:\n"
+
+    rows = {"url": [], "host": [], "url_hash": [], "depth": [],
+            "priority": []}
+    for host in ("slow.example.com", "fast.example.com"):
+        for i in range(20):
+            u = "https://%s/p/%02d" % (host, i)
+            rows["url"].append(u)
+            rows["host"].append(host)
+            rows["url_hash"].append(xxh64_str(u))
+            rows["depth"].append(0)
+            rows["priority"].append(1.0)
+    t = pa.table({
+        "url": pa.array(rows["url"]),
+        "host": pa.array(rows["host"]),
+        "url_hash": pa.array(rows["url_hash"], pa.uint64()),
+        "depth": pa.array(rows["depth"], pa.int32()),
+        "priority": pa.array(rows["priority"], pa.float64()),
+    })
+    stage = RobotsFilterStage()
+    stage.cache.fetcher = fetcher
+    ds = rd.from_arrow(t).map_batches(stage, batch_format="pyarrow")
+    out = select_wave(ds, per_host_budget=15, wave_budget=100,
+                      salted=False, wave_period_s=300.0).to_pandas()
+    per_host = out.groupby("host").size().to_dict()
+    # slow: min(15, 300//60) = 5; fast: full 15
+    assert per_host == {"slow.example.com": 5, "fast.example.com": 15}
+    # deterministic choice: the url-ascending head of each host
+    slow = sorted(out[out.host == "slow.example.com"].url)
+    assert slow == ["https://slow.example.com/p/%02d" % i
+                    for i in range(5)]
