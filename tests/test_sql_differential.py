@@ -1,0 +1,104 @@
+"""Hypothesis differential: the text kernels vs the exact DuckDB
+expressions used as their oracles, over GENERATED text (ASCII, unicode
+letters, unicode whitespace, quotes, empty).  The driver only checks
+the shipped corpus; this guards the Python-regex-vs-RE2 and
+rounding-semantics boundary on inputs beyond it (e.g. Python ``\\s``
+is Unicode-wide while RE2's is ASCII — the normalize kernel uses an
+explicit ASCII class for exactly that reason)."""
+
+import duckdb
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+TEXT = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("L", "N", "P", "Z"),
+        whitelist_characters=" \t\n\f\r'\"&<>_-—  　"),
+    max_size=120)
+
+
+def _con():
+    con = duckdb.connect()
+    return con
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=8))
+def test_token_stats_matches_sql(texts):
+    from nipper_ray.ops.textstats import token_stats
+
+    batch = pa.table({"doc_id": list(range(len(texts))),
+                      "text": pa.array(texts, pa.string())})
+    out = token_stats(batch)
+    con = _con()
+    con.register("d", batch.to_pandas())
+    gold = con.execute(
+        "SELECT len(regexp_extract_all(text, '[A-Za-z0-9_]+')) n,"
+        " length(text) c FROM d ORDER BY doc_id").fetchall()
+    assert out.column("n_tokens").to_pylist() == [g[0] for g in gold]
+    assert out.column("n_chars_computed").to_pylist() == \
+        [g[1] for g in gold]
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=8))
+def test_normalize_matches_sql(texts):
+    from nipper_ray.ops.textstats import normalize_text
+
+    batch = pa.table({"doc_id": list(range(len(texts))),
+                      "text": pa.array(texts, pa.string())})
+    out = normalize_text(batch)
+    con = _con()
+    con.register("d", batch.to_pandas())
+    gold = con.execute(
+        r"""SELECT trim(regexp_replace(nfc_normalize(text),
+                                       '[\t\n\f\r ]+', ' ', 'g'),
+                        ' ') FROM d ORDER BY doc_id""").fetchall()
+    assert out.column("norm_text").to_pylist() == [g[0] for g in gold]
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=8))
+def test_quality_ppm_matches_sql(texts):
+    import re
+
+    tok_re = re.compile(r"[A-Za-z0-9_]+")
+    stop = frozenset(
+        "the a an and or of to in is are was were be been it this that"
+        .split())
+    con = _con()
+    import pandas as pd
+
+    con.register("d", pd.DataFrame({"doc_id": range(len(texts)),
+                                    "text": texts}))
+    gold = con.execute("""
+        SELECT CASE WHEN len(regexp_extract_all(text, '[A-Za-z0-9_]+'))
+                    = 0 THEN 0 ELSE
+          len(list_filter(regexp_extract_all(text, '[A-Za-z0-9_]+'),
+              x -> lower(x) IN ('the','a','an','and','or','of','to',
+                                'in','is','are','was','were','be',
+                                'been','it','this','that')))
+            * 1000000
+            // len(regexp_extract_all(text, '[A-Za-z0-9_]+')) END
+        FROM d ORDER BY doc_id""").fetchall()
+    for t, g in zip(texts, gold):
+        toks = tok_re.findall(t)
+        mine = (sum(1 for w in toks if w.lower() in stop)
+                * 1_000_000 // len(toks)) if toks else 0
+        assert mine == g[0], repr(t)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=6))
+def test_fingerprint_matches_sql(texts):
+    from nipper_ray.ops.textstats import fingerprint
+
+    batch = pa.table({"doc_id": list(range(len(texts))),
+                      "text": pa.array(texts, pa.string())})
+    out = fingerprint(batch)
+    con = _con()
+    con.register("d", batch.to_pandas())
+    gold = con.execute(
+        "SELECT md5(text) FROM d ORDER BY doc_id").fetchall()
+    assert out.column("fp_md5").to_pylist() == [g[0] for g in gold]
