@@ -102,3 +102,50 @@ def test_fingerprint_matches_sql(texts):
     gold = con.execute(
         "SELECT md5(text) FROM d ORDER BY doc_id").fetchall()
     assert out.column("fp_md5").to_pylist() == [g[0] for g in gold]
+
+
+def test_synth_host_title_sql_mirrors_python():
+    """_SYNTH_HOST_SQL/_SYNTH_TITLE_SQL (the basis of the extract /
+    readability / crawl_wave oracles) == sources/synth.py exactly for
+    every doc id shape."""
+    import pandas as pd
+
+    import __ray_entry__ as m
+    from nipper_ray.sources.synth import host_for, page_url
+    import hashlib
+
+    ids = list(range(0, 600, 7)) + [0, 1, 3, 4, 499]
+    con = _con()
+    con.register("d", pd.DataFrame({"doc_id": ids}))
+    rows = con.execute(
+        "SELECT doc_id, %s AS host, %s AS title FROM d ORDER BY doc_id"
+        % (m._SYNTH_HOST_SQL, m._SYNTH_TITLE_SQL)).fetchall()
+    for doc_id, host, title in rows:
+        assert host == host_for(doc_id), doc_id
+        assert page_url(doc_id) == "https://%s/doc/%d" % (host, doc_id)
+        h = hashlib.sha256(b"page:%d" % doc_id).hexdigest()[:12]
+        assert title == "Doc %d — %s" % (doc_id, h), doc_id
+
+
+@settings(max_examples=100, deadline=None)
+@given(TEXT)
+def test_shingle_strings_match_sql(text):
+    """The word-3-gram shingle SET built by the minhash pipeline equals
+    the DuckDB expression used in the minhash/dedup_clusters oracles."""
+    import re
+
+    word_re = re.compile(r"[a-z0-9_]+")
+    words = word_re.findall((text or "").lower())
+    mine = ({" ".join(words[i:i + 3]) for i in range(len(words) - 2)}
+            if len(words) >= 3 else None)
+    con = _con()
+    got = con.execute("""
+        SELECT list_distinct(list_transform(
+            generate_series(1, len(w) - 2),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        FROM (SELECT regexp_extract_all(lower(?), '[a-z0-9_]+') AS w)
+        WHERE len(w) >= 3""", [text]).fetchall()
+    if mine is None:
+        assert got == []
+    else:
+        assert set(got[0][0]) == mine, repr(text)
