@@ -30,8 +30,11 @@ STOPWORDS_SQL = "('the','a','an','and','or','of','to','in','is','are'," \
 # oracle, also reused as the pair source of the dedup_clusters oracle
 _MINHASH_PAIRS_SQL = """
             WITH w AS (SELECT doc_id,
-                              regexp_extract_all(lower(text),
-                                                 '[a-z0-9_]+') AS w
+                              regexp_extract_all(
+                                  translate(text,
+                                      'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                      'abcdefghijklmnopqrstuvwxyz'),
+                                  '[a-z0-9_]+') AS w
                        FROM documents),
                  sh AS (SELECT doc_id, list_distinct(list_transform(
                             generate_series(1, len(w) - 2),

@@ -44,6 +44,19 @@ from ..frontier.hashing import xxh64_batch, xxh64_fixed_rows
 
 _WORD_RE = re.compile(r"[A-Za-z0-9_]+")
 
+# ASCII-only case folding for shingle/simhash tokenization: full
+# str.lower() is locale-sensitive ('İ' -> 'i'+combining dot in Python
+# vs ICU's choice in DuckDB — found by the hypothesis SQL
+# differential), so word extraction would diverge from the oracle's
+# translate()-based fold on such text.  ASCII fold is identical on
+# both sides for every input.
+_ASCII_LOWER = str.maketrans(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")
+
+
+def _fold_words(text: str):
+    return _WORD_RE.findall((text or "").translate(_ASCII_LOWER))
+
 # fixed odd multipliers for the k minhash "permutations": multiply-shift
 # hashing h_j(x) = (a_j * (x XOR b_j)) mod 2^64 — numpy uint64 arithmetic
 # wraps mod 2^64 natively, and odd multipliers make each map a bijection
@@ -71,7 +84,7 @@ def shingle_hashes_batch(texts, n: int = 3, short_doc_fallback=False):
     shingles: list = []
     offsets = np.zeros(len(texts) + 1, dtype=np.int64)
     for i, t in enumerate(texts):
-        words = _WORD_RE.findall((t or "").lower())
+        words = _fold_words(t)
         if len(words) >= n:
             shingles.extend(" ".join(words[j:j + n])
                             for j in range(len(words) - n + 1))
@@ -275,7 +288,7 @@ def simhash64_batch(texts) -> np.ndarray:
     words: list = []
     offsets = np.zeros(len(texts) + 1, dtype=np.int64)
     for i, t in enumerate(texts):
-        words.extend(_WORD_RE.findall((t or "").lower()))
+        words.extend(_fold_words(t))
         offsets[i + 1] = len(words)
     out = np.zeros(len(texts), dtype=np.uint64)
     if not words:

@@ -132,10 +132,9 @@ def test_synth_host_title_sql_mirrors_python():
 def test_shingle_strings_match_sql(text):
     """The word-3-gram shingle SET built by the minhash pipeline equals
     the DuckDB expression used in the minhash/dedup_clusters oracles."""
-    import re
+    from nipper_ray.ops.dedup import _fold_words
 
-    word_re = re.compile(r"[a-z0-9_]+")
-    words = word_re.findall((text or "").lower())
+    words = _fold_words(text)
     mine = ({" ".join(words[i:i + 3]) for i in range(len(words) - 2)}
             if len(words) >= 3 else None)
     con = _con()
@@ -143,7 +142,10 @@ def test_shingle_strings_match_sql(text):
         SELECT list_distinct(list_transform(
             generate_series(1, len(w) - 2),
             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
-        FROM (SELECT regexp_extract_all(lower(?), '[a-z0-9_]+') AS w)
+        FROM (SELECT regexp_extract_all(
+                  translate(?, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                            'abcdefghijklmnopqrstuvwxyz'),
+                  '[a-z0-9_]+') AS w)
         WHERE len(w) >= 3""", [text]).fetchall()
     if mine is None:
         assert got == []
