@@ -13,7 +13,7 @@ from hypothesis import strategies as st
 
 TEXT = st.text(
     alphabet=st.characters(
-        whitelist_categories=("L", "N", "P", "Z"),
+        whitelist_categories=("L", "N", "P", "Z", "Mn"),
         whitelist_characters=" \t\n\f\r'\"&<>_-—  　"),
     max_size=120)
 
