@@ -449,21 +449,27 @@ def q_region_revenue(sf_dir: str):
     lo = pa.scalar(np.datetime64("1996-01-01", "us"))
     hi = pa.scalar(np.datetime64("1997-01-01", "us"))
 
+    # broadcast lookups as Arrow key/value array pairs: probed with
+    # pc.index_in + take per batch (vectorized), never a per-row
+    # Python dict.get loop
+    c_keys = pa.array(list(c_nat.keys()), pa.int64())
+    c_vals = pa.array(list(c_nat.values()), pa.int64())
+    s_keys = pa.array(list(s_nat.keys()), pa.int64())
+    s_vals = pa.array(list(s_nat.values()), pa.int64())
+
     def prep_orders(t: pa.Table) -> pa.Table:
         d = t.column("o_orderdate")
         t = t.filter(pc.and_(pc.greater_equal(d, lo), pc.less(d, hi)))
-        cn = pa.array((c_nat.get(k)
-                       for k in t.column("o_custkey").to_pylist()),
-                      pa.int64())
+        cn = pc.take(c_vals,
+                     pc.index_in(t.column("o_custkey"), value_set=c_keys))
         t = t.append_column("c_nation", cn)
         keep = pc.is_in(t.column("c_nation"),
                         value_set=pa.array(list(asia_name), pa.int64()))
         return t.filter(keep).select(["o_orderkey", "c_nation"])
 
     def prep_line(t: pa.Table) -> pa.Table:
-        sn = pa.array((s_nat.get(k)
-                       for k in t.column("l_suppkey").to_pylist()),
-                      pa.int64())
+        sn = pc.take(s_vals,
+                     pc.index_in(t.column("l_suppkey"), value_set=s_keys))
         t = t.append_column("s_nation", sn)
         keep = pc.is_in(t.column("s_nation"),
                         value_set=pa.array(list(asia_name), pa.int64()))
@@ -492,16 +498,18 @@ def q_region_revenue(sf_dir: str):
     j = hash_join(line, orders, on=("l_orderkey",),
                   right_on=("o_orderkey",), num_partitions=8)
 
+    a_keys = pa.array(list(asia_name.keys()), pa.int64())
+    a_vals = pa.array(list(asia_name.values()), pa.string())
+
     def partial(t: pa.Table) -> pa.Table:
         t = t.filter(pc.equal(t.column("c_nation"),
                               t.column("s_nation")))
-        names = [asia_name[k]
-                 for k in t.column("s_nation").to_pylist()]
-        df = t.to_pandas()
-        df["n_name"] = names
-        g = df.groupby("n_name", as_index=False).agg(
-            rev_cents=("rev_cents", "sum"))
-        return pa.Table.from_pandas(g)
+        nm = pc.take(a_vals, pc.index_in(t.column("s_nation"),
+                                         value_set=a_keys))
+        tb = pa.table({"n_name": nm, "rev_cents": t.column("rev_cents")})
+        # pa group_by emits key cols first, aggregates as <col>_<agg>
+        g = tb.group_by("n_name").aggregate([("rev_cents", "sum")])
+        return g.rename_columns(["n_name", "rev_cents"])
 
     agg = j.map_batches(partial, batch_format="pyarrow").groupby(
         "n_name").aggregate(Sum("rev_cents", alias_name="rev_cents"))

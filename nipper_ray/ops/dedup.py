@@ -201,18 +201,34 @@ def lsh_bands_stage(batch: pa.Table, n_bands: int = 16,
     })
 
 
-def candidate_pairs_from_band(g: pd.DataFrame) -> pd.DataFrame:
-    """map_groups fn over (band_id, band_key): emit unique id pairs."""
-    ids = sorted(g["doc_id"].tolist())
-    if len(ids) < 2:
+# Bucket-size guard for LSH band buckets.  A boilerplate mega-cluster
+# (e.g. 100k identical pages, routine in web crawls) lands every member
+# in ONE (band_id, band_key) group; all-pairs emission there is O(k^2)
+# (5e9 pairs at k=100k).  Above the cap we emit the k-1 STAR pairs to
+# the bucket's min-id representative instead: the transitive closure
+# (what ``dedup_clusters`` / connected_components computes) is
+# identical, and each star pair still goes through the exact Jaccard
+# verification.  The cap only changes which spanning pairs represent a
+# >cap-sized bucket — below it (all shipped corpora) output is the
+# exact all-pairs set.
+_BUCKET_CAP = 1024
+
+
+def candidate_pairs_from_band(g: pd.DataFrame,
+                              bucket_cap: int = _BUCKET_CAP
+                              ) -> pd.DataFrame:
+    """map_groups fn over (band_id, band_key): emit unique id pairs,
+    vectorized (``np.triu_indices``), star-capped above ``bucket_cap``."""
+    ids = np.unique(g["doc_id"].to_numpy(dtype=np.int64))
+    k = len(ids)
+    if k < 2:
         return pd.DataFrame({"a": pd.Series([], dtype="int64"),
                              "b": pd.Series([], dtype="int64")})
-    a, b = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a.append(ids[i])
-            b.append(ids[j])
-    return pd.DataFrame({"a": a, "b": b})
+    if k > bucket_cap:
+        return pd.DataFrame({"a": np.full(k - 1, ids[0], dtype=np.int64),
+                             "b": ids[1:]})
+    iu, ju = np.triu_indices(k, k=1)
+    return pd.DataFrame({"a": ids[iu], "b": ids[ju]})
 
 
 def jaccard_verify_stage(batch: pa.Table,
@@ -231,7 +247,8 @@ def jaccard_verify_stage(batch: pa.Table,
 
 def minhash_neardup(corpus_ds, threshold: float = 0.6, n: int = 3,
                     n_bands: int = 16, num_partitions: int = 8,
-                    id_col: str = "doc_id", text_col: str = "text"):
+                    id_col: str = "doc_id", text_col: str = "text",
+                    bucket_cap: int = _BUCKET_CAP):
     """Full distributed MinHash near-dup pipeline: Dataset[id, text] ->
     Dataset[a, b] of verified pairs (true n-gram Jaccard >= threshold).
 
@@ -252,7 +269,8 @@ def minhash_neardup(corpus_ds, threshold: float = 0.6, n: int = 3,
         lsh_bands_stage, batch_format="pyarrow",
         fn_kwargs={"n_bands": n_bands, "id_col": id_col})
     cand = bands.groupby(["band_id", "band_key"]).map_groups(
-        candidate_pairs_from_band, batch_format="pandas")
+        lambda g: candidate_pairs_from_band(g, bucket_cap),
+        batch_format="pandas")
     cand = (cand.groupby(["a", "b"])
             .aggregate(Count(alias_name="_nb"))
             .select_columns(["a", "b"]))

@@ -180,17 +180,23 @@ def range_join_broadcast(ds, intervals, value_col: str,
 def broadcast_map(ds, mapping: dict, key_col: str, out_col: str,
                   drop_missing: bool = False):
     """Broadcast lookup join: adds ``out_col = mapping[key_col]`` per
-    row.  The dict rides inside the (picklable) stage closure — shipped
-    once per worker, probed vectorized per batch."""
+    row.  The mapping is materialized ONCE (driver-side) as a pair of
+    Arrow arrays riding the stage closure; each batch is probed with
+    ``pc.index_in`` + ``take`` — fully vectorized, no per-row Python.
+    Missing keys map to null (then optionally dropped)."""
     import pyarrow as pa
+    import pyarrow.compute as pc
+
+    key_arr = pa.array(list(mapping.keys()))
+    val_arr = pa.array(list(mapping.values()))
 
     def apply(batch: pa.Table) -> pa.Table:
-        keys = batch.column(key_col).to_pylist()
-        vals = [mapping.get(k) for k in keys]
-        out = batch.append_column(out_col, pa.array(vals))
+        col = batch.column(key_col)
+        ks = (key_arr if key_arr.type == col.type
+              else key_arr.cast(col.type))
+        idx = pc.index_in(col, value_set=ks)
+        out = batch.append_column(out_col, pc.take(val_arr, idx))
         if drop_missing:
-            import pyarrow.compute as pc
-
             out = out.filter(pc.is_valid(out.column(out_col)))
         return out
 

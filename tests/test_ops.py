@@ -285,6 +285,52 @@ def test_minhash_neardup_pipeline_matches_bruteforce(ray_session):
     assert (5, 20) in gp and (7, 33) in gp
 
 
+def test_candidate_pairs_vectorized_and_star_capped():
+    """Below the cap: exact all-pairs set (vectorized == the old nested
+    loop).  Above the cap: k-1 star pairs to the min id — the shape that
+    keeps a 100k-identical-page mega-cluster from emitting O(k^2)."""
+    import pandas as pd
+
+    from nipper_ray.ops.dedup import candidate_pairs_from_band
+
+    g = pd.DataFrame({"doc_id": np.arange(100, dtype=np.int64)[::-1]})
+    out = candidate_pairs_from_band(g, bucket_cap=1024)
+    want = [(i, j) for i in range(100) for j in range(i + 1, 100)]
+    assert sorted(zip(out["a"], out["b"])) == want
+    assert out["a"].dtype == np.int64 and out["b"].dtype == np.int64
+
+    big = pd.DataFrame({"doc_id": np.arange(7, 5007, dtype=np.int64)})
+    star = candidate_pairs_from_band(big, bucket_cap=1024)
+    assert len(star) == 4999
+    assert (star["a"] == 7).all()
+    assert sorted(star["b"]) == list(range(8, 5007))
+
+
+def test_minhash_neardup_mega_bucket_guard(ray_session):
+    """A bucket of 2000 identical docs (the boilerplate mega-cluster
+    shape that would emit ~2M pairs per band uncapped) stays linear
+    under the star cap, and the transitive closure still recovers the
+    full cluster."""
+    import ray.data as rd
+
+    from nipper_ray.ops.dedup import minhash_neardup, union_find_clusters
+
+    same = ("boilerplate nav header footer copyright terms privacy "
+            "contact about careers press blog help ") * 4
+    docs = [same] * 2000
+    docs += ["unique document number %d with its own %s content words"
+             % (i, "x" * (i + 3)) for i in range(5)]
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+    got = minhash_neardup(rd.from_arrow(t), threshold=0.6, n=3,
+                          num_partitions=2, bucket_cap=256).to_pandas()
+    # star representation: k-1 pairs after dedup, not k*(k-1)/2
+    assert len(got) == 1999
+    roots = union_find_clusters(list(zip(got["a"], got["b"])))
+    cluster = {x for x, r in roots.items() if r == 0} | {0}
+    assert cluster == set(range(2000))
+
+
 def test_asof_join_semantics(ray_session):
     """Backward/forward direction, exact-match ties (max tiebreak wins),
     inner vs left behavior."""
