@@ -54,36 +54,62 @@ class RobotsFilterStage:
             r"^[a-z][a-z0-9+.\-]*://(?P<h>[^/?#]+)(?P<p>/[^?#]*)?")
         hosts = pc.struct_field(parts, "h").to_pylist()
         paths = pc.struct_field(parts, "p").to_pylist()
-        cache = self.cache
-        mask = []
-        delays = []
-        for u, h, p in zip(batch.column(self.url_col).to_pylist(),
-                           hosts, paths):
+        urls = batch.column(self.url_col).to_pylist()
+        for i, h in enumerate(hosts):
             if h is None:
                 from urllib.parse import urlsplit
 
-                sp = urlsplit(u)
-                h, p = (sp.hostname or "").lower(), sp.path
+                sp = urlsplit(urls[i])
+                hosts[i] = (sp.hostname or "").lower()
+                paths[i] = sp.path
             else:
                 # canonical URLs are already lowercase; strip port +
-                # userinfo the way urlsplit.hostname does
+                # userinfo the way urlsplit.hostname does (rare)
                 if "@" in h:
                     h = h.rsplit("@", 1)[1]
                 if h.startswith("["):  # IPv6 literal
                     h = h[1:h.index("]")] if "]" in h else h[1:]
                 elif ":" in h:
                     h = h.split(":", 1)[0]
-                h = h.lower()
-                p = p or ""
-            ok = cache.allowed(h, p)
-            mask.append(ok)
-            if ok:
-                delays.append(cache.delay_for(h) or 0.0)
-        out = batch.filter(pa.array(mask, pa.bool_()))
+                hosts[i] = h.lower()
+                if paths[i] is None:
+                    paths[i] = ""
+        # rules matching is grouped by host and vectorized: one
+        # fetch+parse per NEW host (cached), then per-host longest-
+        # match over that host's paths via pc.starts_with — no
+        # per-row Python in the match loop
+        cache = self.cache
+        n = len(batch)
+        hosts_np = np.asarray(hosts, dtype=object)
+        uniq, inv = np.unique(hosts_np, return_inverse=True)
+        order = np.argsort(inv, kind="stable")
+        bounds = np.searchsorted(inv[order], np.arange(len(uniq) + 1))
+        path_arr = pa.array(paths, pa.string())
+        mask = np.ones(n, dtype=bool)
+        delays = np.zeros(n, dtype=np.float64)
+        for k, h in enumerate(uniq):
+            idx = order[bounds[k]:bounds[k + 1]]
+            rr = cache.rules_for(h)
+            if rr.rules:
+                sub = path_arr.take(pa.array(idx, pa.int64()))
+                best_len = np.full(len(idx), -1, dtype=np.int64)
+                best_allow = np.ones(len(idx), dtype=bool)
+                for prefix, is_allow in rr.rules:
+                    m = pc.starts_with(sub, pattern=prefix).to_numpy(
+                        zero_copy_only=False)
+                    ln = len(prefix)
+                    upd = m & ((ln > best_len)
+                               | ((ln == best_len) & is_allow))
+                    best_len[upd] = ln
+                    best_allow[upd] = is_allow
+                mask[idx] = best_allow
+            if rr.crawl_delay:
+                delays[idx] = rr.crawl_delay
+        out = batch.filter(pa.array(mask))
         # surfaced for the politeness stage: Crawl-delay becomes a
         # deterministic per-wave token cap (see select_wave)
-        return out.append_column("crawl_delay_s",
-                                 pa.array(delays, pa.float64()))
+        return out.append_column(
+            "crawl_delay_s", pa.array(delays[mask], pa.float64()))
 
 
 def add_salt(batch: pa.Table, num_salts: int = SALT_N) -> pa.Table:

@@ -519,6 +519,124 @@ def embedding_neardup_blocked(ds, threshold: float = 0.95,
         batch_format="pyarrow")
 
 
+_EMB_BANDS = 16      # OR-amplification: L independent bands
+_EMB_PLANES = 6      # AND within a band: b hyperplanes per band
+
+
+def _emb_band_planes(dim: int) -> np.ndarray:
+    """Fixed-seed (L*b, dim) hyperplane stack — deterministic across
+    workers; distinct from ops.similarity._planes' seed."""
+    rng = np.random.RandomState(0x5EED5EED)
+    return rng.standard_normal((_EMB_BANDS * _EMB_PLANES, dim))
+
+
+def _emb_bands_stage(batch: pa.Table, id_col: str,
+                     planes: np.ndarray) -> pa.Table:
+    """Explode rows into (band_id, band_key, id, embedding) rows: band
+    key = the b sign bits of the row against that band's hyperplanes.
+    Zero-norm rows are dropped (they cosine-0 everything yet share one
+    key — the tokenless-simhash quadratic hazard)."""
+    from .similarity import embedding_matrix
+
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    m = embedding_matrix(batch.column("embedding"))
+    norms = np.linalg.norm(m, axis=1)
+    ok = norms > 0
+    ids, m = ids[ok], _normalize_rows(m[ok])
+    emb = batch.column("embedding")
+    if isinstance(emb, pa.ChunkedArray):
+        emb = emb.combine_chunks()
+    emb = emb.take(pa.array(np.nonzero(ok)[0], pa.int64()))
+    n = len(ids)
+    bits = (m @ planes.T) > 0  # (n, L*b)
+    pw = (1 << np.arange(_EMB_PLANES, dtype=np.int64))
+    keys = (bits.reshape(n, _EMB_BANDS, _EMB_PLANES) * pw).sum(axis=2)
+    return pa.table({
+        "band_id": pa.array(
+            np.tile(np.arange(_EMB_BANDS, dtype=np.int32), n)),
+        "band_key": pa.array(keys.reshape(-1), pa.int64()),
+        id_col: pa.array(np.repeat(ids, _EMB_BANDS), pa.int64()),
+        "embedding": _repeat_list_array(emb, _EMB_BANDS),
+    })
+
+
+def _repeat_list_array(arr: pa.Array, times: int) -> pa.Array:
+    """Each element repeated ``times`` consecutive times."""
+    idx = np.repeat(np.arange(len(arr), dtype=np.int64), times)
+    return arr.take(pa.array(idx, pa.int64()))
+
+
+def _emb_bucket_pairs(g: pa.Table, threshold: float, id_col: str,
+                      bucket_cap: int) -> pa.Table:
+    """Exact cosine verification within one (band_id, band_key) bucket.
+    Above ``bucket_cap`` members, pairs are emitted against the min-id
+    representative only (star) — same guard/rationale as
+    ``candidate_pairs_from_band``."""
+    from .similarity import embedding_matrix
+
+    ids = g.column(id_col).to_numpy(zero_copy_only=False)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    uniq = np.concatenate(([True], ids[1:] != ids[:-1]))
+    take = pa.array(order[uniq].astype(np.int64), pa.int64())
+    ids = ids[uniq]
+    if len(ids) < 2:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64())})
+    mn = _normalize_rows(embedding_matrix(
+        g.column("embedding").take(take)))
+    if len(ids) > bucket_cap:
+        r = np.round(mn[1:] @ mn[0], 6)
+        mask = r >= threshold
+        return pa.table({
+            "a": pa.array(np.full(mask.sum(), ids[0]), pa.int64()),
+            "b": pa.array(ids[1:][mask], pa.int64()),
+            "cosine": pa.array(r[mask], pa.float64())})
+    sims = mn @ mn.T
+    iu = np.triu_indices(len(ids), k=1)
+    r = np.round(sims[iu], 6)
+    mask = r >= threshold
+    return pa.table({
+        "a": pa.array(ids[iu[0][mask]], pa.int64()),
+        "b": pa.array(ids[iu[1][mask]], pa.int64()),
+        "cosine": pa.array(r[mask], pa.float64())})
+
+
+def embedding_neardup_approx(ds, threshold: float = 0.8, dim: int = 64,
+                             id_col: str = "vec_id",
+                             bucket_cap: int = _BUCKET_CAP):
+    """Approximate high-threshold embedding near-dup — the 100-TB
+    regime switch from ``embedding_neardup_blocked``.
+
+    The exact block grid is O(n^2/blocks) compute: correct at any
+    threshold (and the only shape that can match an exact-threshold
+    oracle at t≈0.3, where LSH recall collapses — see module
+    docstring), but quadratic FLOPs.  At high thresholds the geometry
+    flips: for cosine >= 0.8 a random hyperplane agrees with
+    probability 1-θ/π ≈ 0.795, so a 6-plane band matches with p ≈
+    0.795^6 ≈ 0.25 and 16 OR'd bands give recall ≈ 1-(1-p)^16 > 0.98.
+    Candidates are only bucket collisions; every emitted pair is still
+    verified by EXACT cosine, so precision is 1 — only recall is
+    approximate.  Shuffle volume: L × input narrow rows; compute:
+    sum of per-bucket squares (bounded by ``bucket_cap``'s star guard).
+
+    Use the blocked exact grid below the crossover (t < ~0.7) or when
+    an exact pair set is required; this path above it.  (SCALE.md
+    documents the crossover.)"""
+    planes = _emb_band_planes(dim)
+    bands = ds.map_batches(
+        _emb_bands_stage, batch_format="pyarrow",
+        fn_kwargs={"id_col": id_col, "planes": planes})
+    pairs = bands.groupby(["band_id", "band_key"]).map_groups(
+        lambda g: _emb_bucket_pairs(g, threshold, id_col, bucket_cap),
+        batch_format="pyarrow")
+    from ray.data.aggregate import Min
+
+    return (pairs.groupby(["a", "b"])
+            .aggregate(Min("cosine", alias_name="cosine")))
+
+
 # -- clustering (driver-side, provably small pair lists) --------------------
 def union_find_clusters(pairs) -> dict:
     """Min-label union-find over candidate pairs; returns id->root."""

@@ -166,6 +166,34 @@ def _kmeans_cosine(sample: np.ndarray, k: int, iters: int = 10):
     return cent
 
 
+def _hash_spread_sample(ds, sample_size: int,
+                        id_col: str = "vec_id") -> np.ndarray:
+    """Deterministic hash-spread codebook sample: the ``sample_size``
+    rows with the globally smallest ``xxh64(id)``.  Uniform over the
+    whole corpus regardless of file/block order — a head ``limit()``
+    sample would be biased to whatever the first files contain.  The
+    driver only ever holds the ~4x-oversampled survivor set."""
+    from ..frontier.hashing import xxh64_fixed_rows
+
+    n = ds.count()
+    m = np.uint64(max(1, n // (4 * sample_size)))
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = (t.column(id_col).to_numpy(zero_copy_only=False)
+               .astype(np.int64))
+        h = xxh64_fixed_rows(
+            np.ascontiguousarray(ids).view(np.uint8).reshape(len(ids), 8))
+        mask = (h % m) == 0
+        sub = t.filter(pa.array(mask))
+        return pa.table({"_h": pa.array(h[mask], pa.uint64()),
+                         "embedding": sub.column("embedding")})
+
+    cand = ds.map_batches(pick, batch_format="pyarrow").take_all()
+    cand.sort(key=lambda r: r["_h"])
+    return np.array([r["embedding"] for r in cand[:sample_size]],
+                    dtype=np.float64)
+
+
 class IvfAssignStage:
     """Adds the nearest-centroid cell id per row (broadcast centroids
     ride in the pickled stage; one matmul per batch)."""
@@ -183,10 +211,10 @@ def ivf_topk(ds, queries_ref, k: int = 10, n_cells: int = 16,
              nprobe: int = 4, sample_size: int = 2048, concurrency=2,
              use_actors: bool = False):
     """IVF approximate top-k — the coarse-quantizer scale path: a
-    deterministic k-means codebook from a bounded head sample (driver
-    holds <= sample_size vectors, never the table), cell assignment as
-    a map stage, and scoring only rows whose cell is among each
-    query's ``nprobe`` nearest centroids.
+    deterministic k-means codebook from a bounded hash-spread sample
+    (driver holds ~4x sample_size vectors, never the table), cell
+    assignment as a map stage, and scoring only rows whose cell is
+    among each query's ``nprobe`` nearest centroids.
 
     At 100 TB the assignment is a one-pass map (centroids broadcast),
     and the probe filter cuts the scored fraction to ~nprobe/n_cells;
@@ -194,8 +222,7 @@ def ivf_topk(ds, queries_ref, k: int = 10, n_cells: int = 16,
     brute-force path."""
     import ray
 
-    sample = ds.limit(sample_size).take_all()
-    s_mat = np.array([r["embedding"] for r in sample], dtype=np.float64)
+    s_mat = _hash_spread_sample(ds, sample_size)
     cent = _kmeans_cosine(s_mat, n_cells)
 
     q = ray.get(queries_ref)

@@ -251,6 +251,45 @@ def test_embedding_grid_matches_allpairs(ray_session):
     assert wp == gp and len(wp) > 0
 
 
+def test_embedding_neardup_approx_recall(ray_session):
+    """High-threshold regime switch: LSH-banded candidates + exact
+    in-bucket cosine.  Precision must be 1 (every emitted pair is
+    exact-verified); recall vs the exact all-pairs kernel must clear
+    0.9 in the cosine>=0.8 regime the bands are tuned for."""
+    import ray.data as rd
+
+    from nipper_ray.ops.dedup import (embedding_neardup_approx,
+                                      embedding_neardup_pairs)
+
+    rng = np.random.RandomState(99)
+    n, d = 300, 64
+    base = rng.standard_normal((n, d))
+    # plant 40 near-dup pairs at cosine ~0.85-0.99
+    for i in range(40):
+        j = 200 + i
+        noise = rng.standard_normal(d) * rng.uniform(0.1, 0.45)
+        base[j] = base[i] + noise
+    base[250] = 0.0  # zero vector: must be dropped, not bucket-bombed
+    t = pa.table({"vec_id": pa.array(range(n), pa.int64()),
+                  "embedding": pa.array([list(map(float, r)) for r in base],
+                                        pa.list_(pa.float64()))})
+    want = embedding_neardup_pairs(t, threshold=0.8)
+    wp = set(zip(want.column("a").to_pylist(),
+                 want.column("b").to_pylist()))
+    got = embedding_neardup_approx(rd.from_arrow(t), threshold=0.8,
+                                   dim=d).to_pandas()
+    gp = set(zip(got["a"], got["b"]))
+    assert gp <= wp                      # exact verify => precision 1
+    assert len(wp) >= 30
+    recall = len(gp & wp) / len(wp)
+    assert recall >= 0.9, recall
+    # determinism: same input -> identical pair set + cosines
+    again = embedding_neardup_approx(rd.from_arrow(t), threshold=0.8,
+                                     dim=d).to_pandas()
+    assert sorted(zip(again["a"], again["b"], again["cosine"])) == \
+        sorted(zip(got["a"], got["b"], got["cosine"]))
+
+
 def test_minhash_neardup_pipeline_matches_bruteforce(ray_session):
     """Distributed minhash pipeline == brute-force exact Jaccard join
     on a corpus with planted near-dups."""
