@@ -519,6 +519,74 @@ def q_region_revenue(sf_dir: str):
         batch_format="pandas")
 
 
+def q_promo_revenue(sf_dir: str):
+    """TPC-H-Q14-shaped join: lineitem x part on partkey (the second
+    large-large hash-join leg, a different key distribution than the
+    orderkey leg) with a shipdate window and a conditional aggregate.
+
+    Per brand: item count, exact-cent revenue, and the PROMO share in
+    exact integer ppm (floor division on both sides — no float ratio).
+    Both sides are pruned + filtered BELOW the shuffle."""
+    from ray.data.aggregate import Sum
+
+    from nipper_ray.ops.join import hash_join
+
+    rd = _rd()
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1996-07-01", "us"))
+
+    def prep_line(t: pa.Table) -> pa.Table:
+        d = t.column("l_shipdate")
+        t = t.filter(pc.and_(pc.greater_equal(d, lo), pc.less(d, hi)))
+        revenue = pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        cents = pc.cast(
+            pc.round(pc.multiply(revenue, pa.scalar(100.0)),
+                     round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({"l_partkey": t.column("l_partkey"),
+                         "rev_cents": cents})
+
+    line = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"]
+    ).map_batches(prep_line, batch_format="pyarrow")
+    part = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                           columns=["p_partkey", "p_brand", "p_type"])
+    j = hash_join(line, part, on=("l_partkey",),
+                  right_on=("p_partkey",), num_partitions=8)
+
+    def partial(t: pa.Table) -> pa.Table:
+        promo = pc.if_else(
+            pc.equal(t.column("p_type"), pa.scalar("PROMO")),
+            t.column("rev_cents"), pa.scalar(0, pa.int64()))
+        ones = pa.array(np.ones(len(t), dtype=np.int64))
+        tb = pa.table({"p_brand": t.column("p_brand"),
+                       "rev_cents": t.column("rev_cents"),
+                       "promo_cents": promo, "n_items": ones})
+        g = tb.group_by("p_brand").aggregate(
+            [("rev_cents", "sum"), ("promo_cents", "sum"),
+             ("n_items", "sum")])
+        return g.rename_columns(
+            ["p_brand", "rev_cents", "promo_cents", "n_items"])
+
+    agg = j.map_batches(partial, batch_format="pyarrow").groupby(
+        "p_brand").aggregate(
+            Sum("rev_cents", alias_name="rev_cents"),
+            Sum("promo_cents", alias_name="promo_cents"),
+            Sum("n_items", alias_name="n_items"))
+
+    def finalize(df):
+        df = df.assign(
+            revenue=df.rev_cents.astype("float64") / 100.0,
+            promo_ppm=(df.promo_cents * 1_000_000 // df.rev_cents)
+            .astype("int64"))
+        return df[["p_brand", "n_items", "revenue", "promo_ppm"]]
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
 def q_top_users(sf_dir: str):
     """filter -> groupby -> global sort -> limit (top-k)."""
     from ray.data.aggregate import Count, Sum
@@ -962,6 +1030,36 @@ def q_embedding_neardup(sf_dir: str):
     return out.select_columns(["a", "b"])
 
 
+def q_embedding_neardup_approx(sf_dir: str):
+    """High-threshold approximate regime (ops/dedup.py
+    embedding_neardup_approx): banded-LSH candidates + exact in-bucket
+    cosine.  Every emitted pair is exact-verified, so approx ⊆ exact —
+    the oracle (exact SQL join at the same threshold) is a genuine
+    PRECISION gate; recall is pinned by the pytest recall test on
+    planted high-cosine pairs (the shipped corpus has none >= 0.8, so
+    this row is empty-vs-empty by construction)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from nipper_ray.ops.dedup import embedding_neardup_approx
+
+    rd = _rd()
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    first = next(pq.ParquetFile(path).iter_batches(
+        batch_size=1, columns=["embedding"]))
+    dim = len(first.column("embedding")[0])
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    out = embedding_neardup_approx(ds, threshold=0.8, dim=dim)
+    # pair lists are tiny; an all-empty groupby loses its schema, so
+    # finalize as a typed frame
+    df = out.to_pandas()
+    if len(df.columns) == 0:
+        df = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                           "b": pd.Series([], dtype="int64"),
+                           "cosine": pd.Series([], dtype="float64")})
+    return df[["a", "b", "cosine"]]
+
+
 # ---------------------------------------------------------------------------
 # similarity search (embeddings)
 # ---------------------------------------------------------------------------
@@ -1112,6 +1210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": q_pricing_summary,
         "segment_revenue": q_segment_revenue,
         "region_revenue": q_region_revenue,
+        "promo_revenue": q_promo_revenue,
         "top_users": q_top_users,
         "hourly_windows": q_hourly_windows,
         "session_windows": q_session_windows,
@@ -1134,6 +1233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": q_simhash,
         "simhash_neardup": q_simhash_neardup,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_approx": q_embedding_neardup_approx,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -1185,6 +1285,23 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01'
               AND o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY n_name
+        """,
+        "promo_revenue": """
+            SELECT p_brand,
+                   count(*) AS n_items,
+                   CAST(sum(rev_cents) AS DOUBLE) / 100.0 AS revenue,
+                   CAST(sum(CASE WHEN p_type = 'PROMO'
+                                 THEN rev_cents ELSE 0 END)
+                        * 1000000 // sum(rev_cents) AS BIGINT)
+                       AS promo_ppm
+            FROM (SELECT l_partkey,
+                         CAST(round(l_extendedprice * (1 - l_discount)
+                                    * 100) AS BIGINT) AS rev_cents
+                  FROM lineitem
+                  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                    AND l_shipdate < TIMESTAMP '1996-07-01') l
+            JOIN part ON l.l_partkey = p_partkey
+            GROUP BY p_brand
         """,
         "top_users": """
             SELECT user_id, count(*) AS n_clicks,
@@ -1364,6 +1481,16 @@ def oracle_sql() -> dict[str, str]:
               ON e1.vec_id < e2.vec_id
             WHERE round(list_cosine_similarity(
                     e1.embedding, e2.embedding), 6) >= 0.3
+            ORDER BY a, b
+        """,
+        "embedding_neardup_approx": """
+            SELECT e1.vec_id AS a, e2.vec_id AS b,
+                   round(list_cosine_similarity(
+                       e1.embedding, e2.embedding), 6) AS cosine
+            FROM embeddings e1 JOIN embeddings e2
+              ON e1.vec_id < e2.vec_id
+            WHERE round(list_cosine_similarity(
+                    e1.embedding, e2.embedding), 6) >= 0.8
             ORDER BY a, b
         """,
         "ann_topk": """

@@ -521,21 +521,25 @@ def embedding_neardup_blocked(ds, threshold: float = 0.95,
 
 _EMB_BANDS = 16      # OR-amplification: L independent bands
 _EMB_PLANES = 6      # AND within a band: b hyperplanes per band
+_EMB_PARTS = 64      # hash partitions the buckets are routed to
 
 
-def _emb_band_planes(dim: int) -> np.ndarray:
+def _emb_band_planes(dim: int, n_bands: int, n_planes: int) -> np.ndarray:
     """Fixed-seed (L*b, dim) hyperplane stack — deterministic across
     workers; distinct from ops.similarity._planes' seed."""
     rng = np.random.RandomState(0x5EED5EED)
-    return rng.standard_normal((_EMB_BANDS * _EMB_PLANES, dim))
+    return rng.standard_normal((n_bands * n_planes, dim))
 
 
-def _emb_bands_stage(batch: pa.Table, id_col: str,
-                     planes: np.ndarray) -> pa.Table:
-    """Explode rows into (band_id, band_key, id, embedding) rows: band
-    key = the b sign bits of the row against that band's hyperplanes.
-    Zero-norm rows are dropped (they cosine-0 everything yet share one
-    key — the tokenless-simhash quadratic hazard)."""
+def _emb_bands_stage(batch: pa.Table, id_col: str, planes: np.ndarray,
+                     n_bands: int, n_planes: int,
+                     n_parts: int) -> pa.Table:
+    """Explode rows into (pkey, bucket, id, embedding) rows: bucket =
+    (band_id, b sign bits) packed into one int64, pkey = bucket hash
+    partition (so the downstream groupby has ``n_parts`` groups, not
+    one dispatch per bucket).  Zero-norm rows are dropped (they
+    cosine-0 everything yet share one key — the tokenless-simhash
+    quadratic hazard)."""
     from .similarity import embedding_matrix
 
     ids = batch.column(id_col).to_numpy(zero_copy_only=False)
@@ -549,14 +553,17 @@ def _emb_bands_stage(batch: pa.Table, id_col: str,
     emb = emb.take(pa.array(np.nonzero(ok)[0], pa.int64()))
     n = len(ids)
     bits = (m @ planes.T) > 0  # (n, L*b)
-    pw = (1 << np.arange(_EMB_PLANES, dtype=np.int64))
-    keys = (bits.reshape(n, _EMB_BANDS, _EMB_PLANES) * pw).sum(axis=2)
+    pw = (1 << np.arange(n_planes, dtype=np.int64))
+    keys = (bits.reshape(n, n_bands, n_planes) * pw).sum(axis=2)
+    bucket = (keys + (np.arange(n_bands, dtype=np.int64)
+                      << np.int64(n_planes))).reshape(-1)
+    pkey = ((bucket * np.int64(0x9E3779B9)) % np.int64(n_parts)
+            ).astype(np.int32)
     return pa.table({
-        "band_id": pa.array(
-            np.tile(np.arange(_EMB_BANDS, dtype=np.int32), n)),
-        "band_key": pa.array(keys.reshape(-1), pa.int64()),
-        id_col: pa.array(np.repeat(ids, _EMB_BANDS), pa.int64()),
-        "embedding": _repeat_list_array(emb, _EMB_BANDS),
+        "pkey": pa.array(pkey),
+        "bucket": pa.array(bucket, pa.int64()),
+        id_col: pa.array(np.repeat(ids, n_bands), pa.int64()),
+        "embedding": _repeat_list_array(emb, n_bands),
     })
 
 
@@ -566,45 +573,64 @@ def _repeat_list_array(arr: pa.Array, times: int) -> pa.Array:
     return arr.take(pa.array(idx, pa.int64()))
 
 
-def _emb_bucket_pairs(g: pa.Table, threshold: float, id_col: str,
-                      bucket_cap: int) -> pa.Table:
-    """Exact cosine verification within one (band_id, band_key) bucket.
-    Above ``bucket_cap`` members, pairs are emitted against the min-id
-    representative only (star) — same guard/rationale as
+def _emb_partition_pairs(g: pa.Table, threshold: float, id_col: str,
+                         bucket_cap: int) -> pa.Table:
+    """Exact cosine verification over EVERY bucket routed to this
+    partition group: sort by (bucket, id), dedupe, then one matmul per
+    bucket segment.  Buckets above ``bucket_cap`` members emit pairs
+    against their min-id member only (star) — same guard/rationale as
     ``candidate_pairs_from_band``."""
     from .similarity import embedding_matrix
 
+    buckets = g.column("bucket").to_numpy(zero_copy_only=False)
     ids = g.column(id_col).to_numpy(zero_copy_only=False)
-    order = np.argsort(ids, kind="stable")
-    ids = ids[order]
-    uniq = np.concatenate(([True], ids[1:] != ids[:-1]))
-    take = pa.array(order[uniq].astype(np.int64), pa.int64())
-    ids = ids[uniq]
-    if len(ids) < 2:
+    order = np.lexsort((ids, buckets))
+    buckets, ids = buckets[order], ids[order]
+    uniq = np.concatenate(
+        ([True], (buckets[1:] != buckets[:-1]) | (ids[1:] != ids[:-1])))
+    order = order[uniq]
+    buckets, ids = buckets[uniq], ids[uniq]
+    mn = _normalize_rows(embedding_matrix(
+        g.column("embedding").take(pa.array(order, pa.int64()))))
+    seg = np.concatenate(
+        ([0], np.nonzero(buckets[1:] != buckets[:-1])[0] + 1,
+         [len(buckets)]))
+    a_out, b_out, c_out = [], [], []
+    for s, e in zip(seg[:-1], seg[1:]):
+        k = e - s
+        if k < 2:
+            continue
+        sub = mn[s:e]
+        bid = ids[s:e]
+        if k > bucket_cap:
+            r = np.round(sub[1:] @ sub[0], 6)
+            mask = r >= threshold
+            a_out.append(np.full(int(mask.sum()), bid[0]))
+            b_out.append(bid[1:][mask])
+            c_out.append(r[mask])
+        else:
+            sims = sub @ sub.T
+            iu = np.triu_indices(k, k=1)
+            r = np.round(sims[iu], 6)
+            mask = r >= threshold
+            a_out.append(bid[iu[0][mask]])
+            b_out.append(bid[iu[1][mask]])
+            c_out.append(r[mask])
+    if not a_out:
         return pa.table({"a": pa.array([], pa.int64()),
                          "b": pa.array([], pa.int64()),
                          "cosine": pa.array([], pa.float64())})
-    mn = _normalize_rows(embedding_matrix(
-        g.column("embedding").take(take)))
-    if len(ids) > bucket_cap:
-        r = np.round(mn[1:] @ mn[0], 6)
-        mask = r >= threshold
-        return pa.table({
-            "a": pa.array(np.full(mask.sum(), ids[0]), pa.int64()),
-            "b": pa.array(ids[1:][mask], pa.int64()),
-            "cosine": pa.array(r[mask], pa.float64())})
-    sims = mn @ mn.T
-    iu = np.triu_indices(len(ids), k=1)
-    r = np.round(sims[iu], 6)
-    mask = r >= threshold
     return pa.table({
-        "a": pa.array(ids[iu[0][mask]], pa.int64()),
-        "b": pa.array(ids[iu[1][mask]], pa.int64()),
-        "cosine": pa.array(r[mask], pa.float64())})
+        "a": pa.array(np.concatenate(a_out), pa.int64()),
+        "b": pa.array(np.concatenate(b_out), pa.int64()),
+        "cosine": pa.array(np.concatenate(c_out), pa.float64())})
 
 
 def embedding_neardup_approx(ds, threshold: float = 0.8, dim: int = 64,
                              id_col: str = "vec_id",
+                             n_bands: int = _EMB_BANDS,
+                             n_planes: int = _EMB_PLANES,
+                             n_parts: int = _EMB_PARTS,
                              bucket_cap: int = _BUCKET_CAP):
     """Approximate high-threshold embedding near-dup — the 100-TB
     regime switch from ``embedding_neardup_blocked``.
@@ -620,16 +646,25 @@ def embedding_neardup_approx(ds, threshold: float = 0.8, dim: int = 64,
     verified by EXACT cosine, so precision is 1 — only recall is
     approximate.  Shuffle volume: L × input narrow rows; compute:
     sum of per-bucket squares (bounded by ``bucket_cap``'s star guard).
+    Buckets are hash-routed to ``n_parts`` partition groups so the
+    groupby dispatches O(n_parts) groups, each verifying its buckets
+    vectorized — not one dispatch per bucket.
 
-    Use the blocked exact grid below the crossover (t < ~0.7) or when
-    an exact pair set is required; this path above it.  (SCALE.md
-    documents the crossover.)"""
-    planes = _emb_band_planes(dim)
+    At corpus scale widen the geometry so expected bucket size stays
+    bounded: b = n_planes ≈ log2(n / target_bucket_size) and L = bands
+    to hold recall (e.g. n=1e9 @ t>=0.8: b=16, L=64 gives per-band
+    p≈0.795^16≈0.025, recall ≈ 1-(1-p)^64 ≈ 0.80; b=12, L=64 ≈ 0.99),
+    and n_parts ≈ cluster cores.  Use the blocked exact grid below the
+    crossover (t < ~0.7) or when an exact pair set is required; this
+    path above it.  (SCALE.md documents the crossover.)"""
+    planes = _emb_band_planes(dim, n_bands, n_planes)
     bands = ds.map_batches(
         _emb_bands_stage, batch_format="pyarrow",
-        fn_kwargs={"id_col": id_col, "planes": planes})
-    pairs = bands.groupby(["band_id", "band_key"]).map_groups(
-        lambda g: _emb_bucket_pairs(g, threshold, id_col, bucket_cap),
+        fn_kwargs={"id_col": id_col, "planes": planes,
+                   "n_bands": n_bands, "n_planes": n_planes,
+                   "n_parts": n_parts})
+    pairs = bands.groupby("pkey").map_groups(
+        lambda g: _emb_partition_pairs(g, threshold, id_col, bucket_cap),
         batch_format="pyarrow")
     from ray.data.aggregate import Min
 
