@@ -184,7 +184,9 @@ class TreeBuilder:
 
     # ------------------------------------------------------------------
     def parse(self, html: str) -> Tree:
-        self.tok = Tokenizer(self, html)
+        from .ctokenizer import make_tokenizer
+
+        self.tok = make_tokenizer(self, html)
         if self.fragment_ctx is not None:
             ctx = self.fragment_ctx
             root = self.tree.new_element("html")
