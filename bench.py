@@ -32,6 +32,19 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 REPEAT = int(os.environ.get("GRAFT_PAGES_REPEAT", "10"))
 
 
+def host_probe() -> float:
+    """Fixed single-core probe for cross-window normalization: this
+    sandbox is a slice of a shared host whose effective CPU speed
+    swings 2-2.5x between minutes (see BASELINE.md round 3); recording
+    the probe beside every wall time lets readers separate engine
+    changes from host weather."""
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(5_000_000):
+        s += i * i
+    return round(time.perf_counter() - t0, 3)
+
+
 def _quiet():
     import logging
 
@@ -216,6 +229,10 @@ def main():
 
     ray.shutdown()
 
+    from nipper_ray.html import cscan
+
+    rates["host_probe_sec"] = host_probe()
+    rates["cscan"] = cscan.get() is not None
     out = {
         "metric": "pages/sec extraction + frontier-dedup URLs/sec "
                   "(synthetic CC-style corpus, %d pages)" % n_pages,
@@ -257,7 +274,9 @@ def scaling():
     # are interleaved (lo,hi) pairs and the reported efficiency is the
     # MEDIAN of the per-pair ratios; every raw trial is printed.
     pairs = []
+    probes = []
     for _ in range(trials):
+        probes.append(host_probe())
         t_lo = run(lo)["queries"]["extract"]
         t_hi = run(hi)["queries"]["extract"]
         pairs.append((t_lo, t_hi, round((t_lo / t_hi) / (hi / lo), 3)))
@@ -271,6 +290,7 @@ def scaling():
         "paired_trials": [{"sec_%d" % lo: p[0], "sec_%d" % hi: p[1],
                            "eff": p[2]} for p in pairs],
         "scaling_efficiency": median_eff,
+        "host_probe_sec": probes,
         "sf": SF_DIR,
     }))
 
