@@ -920,6 +920,30 @@ def q_hash_sample(sf_dir: str):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (ops/decontam.py): docs whose distinct
+    word-3-gram overlap with the benchmark subset (doc_id % 20 == 0,
+    standing in for an eval suite) reaches 10% are flagged.  Benchmark
+    shingle union is driver-held + broadcast (benchmarks are small by
+    nature); the corpus pass is one shuffle-free map_batches."""
+    from nipper_ray.ops.decontam import decontaminate
+
+    rd = _rd()
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+
+    def _is_bench(t: pa.Table, want: bool) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        m = (ids % 20 == 0)
+        return t.filter(pa.array(m if want else ~m))
+
+    bench = docs.map_batches(lambda t: _is_bench(t, True),
+                             batch_format="pyarrow")
+    corpus = docs.map_batches(lambda t: _is_bench(t, False),
+                              batch_format="pyarrow")
+    return decontaminate(corpus, bench, n=3, threshold_ppm=100_000)
+
+
 def q_fingerprint(sf_dir: str):
     from nipper_ray.ops.textstats import fingerprint
 
@@ -1225,6 +1249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize": q_normalize,
         "curate": q_curate,
         "hash_sample": q_hash_sample,
+        "decontaminate": q_decontaminate,
         "fingerprint": q_fingerprint,
         "langid": q_langid,
         "exact_dedup": q_exact_dedup,
@@ -1458,6 +1483,36 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies
             FROM documents GROUP BY md5(text)
+        """,
+        "decontaminate": """
+            WITH w AS (SELECT doc_id,
+                              regexp_extract_all(
+                                  translate(text,
+                                      'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                      'abcdefghijklmnopqrstuvwxyz'),
+                                  '[a-z0-9_]+') AS w
+                       FROM documents),
+                 sh AS (SELECT doc_id, list_distinct(list_transform(
+                            generate_series(1, len(w) - 2),
+                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                            AS s
+                        FROM w WHERE len(w) >= 3),
+                 bench AS (SELECT DISTINCT unnest(s) AS g FROM sh
+                           WHERE doc_id % 20 = 0),
+                 corpus AS (SELECT doc_id, s FROM sh
+                            WHERE doc_id % 20 != 0),
+                 e AS (SELECT doc_id, unnest(s) AS g FROM corpus),
+                 ov AS (SELECT e.doc_id, count(*) AS n_overlap
+                        FROM e JOIN bench ON e.g = bench.g
+                        GROUP BY 1)
+            SELECT c.doc_id,
+                   CAST(len(c.s) AS BIGINT) AS n_shingles,
+                   CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+                   CAST(COALESCE(o.n_overlap, 0) * 1000000 // len(c.s)
+                        AS BIGINT) AS overlap_ppm,
+                   COALESCE(o.n_overlap, 0) * 1000000 // len(c.s)
+                       >= 100000 AS contaminated
+            FROM corpus c LEFT JOIN ov o ON c.doc_id = o.doc_id
         """,
         "minhash_neardup": _MINHASH_PAIRS_SQL,
         "dedup_clusters": """

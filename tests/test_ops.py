@@ -324,6 +324,39 @@ def test_minhash_neardup_pipeline_matches_bruteforce(ray_session):
     assert (5, 20) in gp and (7, 33) in gp
 
 
+def test_decontam_stage_kernel():
+    """Overlap counting against a benchmark shingle set: exact distinct
+    3-gram intersection, integer ppm, short docs dropped."""
+    from nipper_ray.ops.decontam import DecontamStage
+    from nipper_ray.ops.dedup import shingle_hashes_batch
+
+    bench_text = "the quick brown fox jumps over the lazy dog tonight"
+    bh, _ = shingle_hashes_batch([bench_text], 3)
+    stage = DecontamStage(np.unique(bh), n=3, threshold_ppm=100_000)
+    docs = [
+        bench_text,                               # full overlap
+        "the quick brown fox went home early after work today ok",
+        "completely different words about other topics entirely here",
+        "too short",                              # dropped (<3 words)
+    ]
+    t = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+    out = stage(t).to_pandas().set_index("doc_id")
+    assert list(out.index) == [0, 1, 2]
+    assert out.loc[0, "overlap_ppm"] == 1_000_000
+    assert bool(out.loc[0, "contaminated"])
+    # doc 1 shares exactly the 2 leading trigrams of its 11 words ->
+    # 9 distinct shingles
+    assert out.loc[1, "n_shingles"] == 9
+    assert out.loc[1, "n_overlap"] == 2
+    assert out.loc[1, "overlap_ppm"] == 2 * 1_000_000 // 9
+    assert out.loc[2, "n_overlap"] == 0
+    assert not bool(out.loc[2, "contaminated"])
+    # dtypes are the oracle's (int64/bool)
+    assert str(out["overlap_ppm"].dtype) == "int64"
+    assert str(out["contaminated"].dtype) == "bool"
+
+
 def test_candidate_pairs_vectorized_and_star_capped():
     """Below the cap: exact all-pairs set (vectorized == the old nested
     loop).  Above the cap: k-1 star pairs to the min id — the shape that
