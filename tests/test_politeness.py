@@ -119,3 +119,54 @@ def test_crawl_delay_caps_wave_budget(ray_session):
     slow = sorted(out[out.host == "slow.example.com"].url)
     assert slow == ["https://slow.example.com/p/%02d" % i
                     for i in range(5)]
+
+
+def test_robots_stage_vectorized_matches_scalar():
+    """The per-host vectorized rules matching inside RobotsFilterStage
+    must agree row-for-row with the scalar RobotsRules.allowed
+    evaluator, including longest-match precedence, Allow-on-tie,
+    Crawl-delay surfacing, and the exotic-URL fallback."""
+    import pyarrow as pa
+
+    from nipper_ray.frontier.politeness import RobotsFilterStage
+    from nipper_ray.frontier.robots import RobotsCache
+
+    robots = {
+        "a.com": ("User-agent: *\nDisallow: /doc/\nAllow: /doc/ok\n"
+                  "Crawl-delay: 2\n"),
+        "b.com": ("User-agent: *\nDisallow: /x\nAllow: /x\n"  # tie->Allow
+                  "Disallow: /deep/path/\n"),
+        "c.com": "User-agent: *\n",                 # no rules: allow all
+        "d.com": "User-agent: *\nDisallow: /\n",    # deny all
+    }
+
+    def fetcher(host):
+        return robots.get(host, "User-agent: *\n")
+
+    urls = [
+        "http://a.com/doc/1", "http://a.com/doc/ok/page",
+        "http://a.com/other", "http://b.com/x", "http://b.com/xy",
+        "http://b.com/deep/path/z", "http://b.com/deep/", 
+        "http://c.com/anything", "http://d.com/", "http://d.com/p?q=1",
+        "http://user@a.com:8080/doc/2",   # exotic: userinfo + port
+        "http://A.COM/doc/3",             # uppercase host
+        "ftp://c.com",                    # no path
+    ]
+    batch = pa.table({"url": pa.array(urls, pa.string())})
+    stage = RobotsFilterStage()
+    stage.cache = RobotsCache(fetcher=fetcher)
+    out = stage(batch)
+
+    # scalar reference over the same (host, path) extraction
+    from urllib.parse import urlsplit
+
+    ref = RobotsCache(fetcher=fetcher)
+    want, want_delay = [], []
+    for u in urls:
+        sp = urlsplit(u)
+        h, p = (sp.hostname or "").lower(), sp.path
+        if ref.allowed(h, p):
+            want.append(u)
+            want_delay.append(ref.delay_for(h) or 0.0)
+    assert out.column("url").to_pylist() == want
+    assert out.column("crawl_delay_s").to_pylist() == want_delay
