@@ -177,11 +177,18 @@ def shingle_minhash_stage(batch: pa.Table, id_col: str = "doc_id",
 
 
 def lsh_bands_stage(batch: pa.Table, n_bands: int = 16,
-                    id_col: str = "doc_id") -> pa.Table:
+                    id_col: str = "doc_id",
+                    n_parts: int = 0) -> pa.Table:
     """Explode signatures into (band_id, band_key, doc_id) rows.
     Band keys are one vectorized xxh64 pass over the per-band signature
     byte rows (a key collision only adds a candidate pair, which the
-    Jaccard verification then rejects — never a correctness issue)."""
+    Jaccard verification then rejects — never a correctness issue).
+
+    With ``n_parts`` > 0 a ``pkey`` hash-partition column is added so
+    the candidate groupby dispatches O(n_parts) groups instead of one
+    ``map_groups`` call per bucket (the ~2 ms/group executor dispatch
+    dominates at corpus scale — same routing as
+    ``embedding_neardup_approx``)."""
     n = len(batch)
     rows_per = _N_PERM // n_bands
     col = batch.column("minhash")
@@ -192,13 +199,20 @@ def lsh_bands_stage(batch: pa.Table, n_bands: int = 16,
                   .view(np.uint8)
                   .reshape(n * n_bands, rows_per * 8))
     keys = xxh64_fixed_rows(band_bytes)
-    return pa.table({
-        "band_id": pa.array(np.tile(np.arange(n_bands, dtype=np.int32), n)),
+    band_id = np.tile(np.arange(n_bands, dtype=np.int32), n)
+    cols = {
+        "band_id": pa.array(band_id),
         "band_key": pa.array(keys, pa.uint64()),
         id_col: pa.array(
             np.repeat(batch.column(id_col).to_numpy(zero_copy_only=False),
                       n_bands), pa.int64()),
-    })
+    }
+    if n_parts:
+        pkey = (((keys ^ band_id.astype(np.uint64))
+                 * np.uint64(0x9E3779B97F4A7C15))
+                >> np.uint64(40)) % np.uint64(n_parts)
+        cols["pkey"] = pa.array(pkey.astype(np.int32))
+    return pa.table(cols)
 
 
 # Bucket-size guard for LSH band buckets.  A boilerplate mega-cluster
@@ -229,6 +243,31 @@ def candidate_pairs_from_band(g: pd.DataFrame,
                              "b": ids[1:]})
     iu, ju = np.triu_indices(k, k=1)
     return pd.DataFrame({"a": ids[iu], "b": ids[ju]})
+
+
+def candidate_pairs_from_partition(g: pd.DataFrame,
+                                   bucket_cap: int = _BUCKET_CAP
+                                   ) -> pd.DataFrame:
+    """map_groups fn over a ``pkey`` partition: every (band_id,
+    band_key) bucket routed here is segmented out with one lexsort and
+    emitted via ``candidate_pairs_from_band``'s vectorized/star-capped
+    kernel — O(n_parts) group dispatches total, not one per bucket."""
+    bid = g["band_id"].to_numpy(dtype=np.int64)
+    key = g["band_key"].to_numpy(dtype=np.uint64)
+    ids = g["doc_id"].to_numpy(dtype=np.int64)
+    order = np.lexsort((ids, key, bid))
+    bid, key, ids = bid[order], key[order], ids[order]
+    new_seg = (bid[1:] != bid[:-1]) | (key[1:] != key[:-1])
+    seg = np.concatenate(([0], np.nonzero(new_seg)[0] + 1, [len(ids)]))
+    outs = []
+    for s, e in zip(seg[:-1], seg[1:]):
+        if e - s >= 2:
+            outs.append(candidate_pairs_from_band(
+                pd.DataFrame({"doc_id": ids[s:e]}), bucket_cap))
+    if not outs:
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64")})
+    return pd.concat(outs, ignore_index=True)
 
 
 def jaccard_verify_stage(batch: pa.Table,
@@ -267,9 +306,10 @@ def minhash_neardup(corpus_ds, threshold: float = 0.6, n: int = 3,
     sh = sh.materialize()
     bands = sh.select_columns([id_col, "minhash"]).map_batches(
         lsh_bands_stage, batch_format="pyarrow",
-        fn_kwargs={"n_bands": n_bands, "id_col": id_col})
-    cand = bands.groupby(["band_id", "band_key"]).map_groups(
-        lambda g: candidate_pairs_from_band(g, bucket_cap),
+        fn_kwargs={"n_bands": n_bands, "id_col": id_col,
+                   "n_parts": 64})
+    cand = bands.groupby("pkey").map_groups(
+        lambda g: candidate_pairs_from_partition(g, bucket_cap),
         batch_format="pandas")
     cand = (cand.groupby(["a", "b"])
             .aggregate(Count(alias_name="_nb"))
@@ -353,25 +393,59 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
 
 
 def simhash_bands_stage(batch: pa.Table, id_col: str = "doc_id",
-                        n_bands: int = 4) -> pa.Table:
+                        n_bands: int = 4,
+                        n_parts: int = 0) -> pa.Table:
     """Explode 64-bit simhashes into (band_id, band_key) rows: two
     docs within hamming distance d < n_bands agree on at least one
-    16-bit band (pigeonhole), so banding finds all close pairs."""
+    16-bit band (pigeonhole), so banding finds all close pairs.
+    ``n_parts`` > 0 adds the bucket hash-partition column (see
+    ``lsh_bands_stage``)."""
     h = batch.column("simhash").to_numpy(zero_copy_only=False)
     n = len(h)
     bits = 64 // n_bands
     mask = np.uint64((1 << bits) - 1)
+    band_id = np.repeat(np.arange(n_bands, dtype=np.int32), n)
     keys = np.concatenate([
         (h >> np.uint64(b * bits)) & mask for b in range(n_bands)])
-    return pa.table({
-        "band_id": pa.array(np.repeat(np.arange(n_bands, dtype=np.int32),
-                                      n)),
+    cols = {
+        "band_id": pa.array(band_id),
         "band_key": pa.array(keys, pa.uint64()),
         id_col: pa.array(np.tile(
             batch.column(id_col).to_numpy(zero_copy_only=False), n_bands),
             pa.int64()),
         "simhash": pa.array(np.tile(h, n_bands), pa.uint64()),
-    })
+    }
+    if n_parts:
+        pkey = (((keys ^ band_id.astype(np.uint64))
+                 * np.uint64(0x9E3779B97F4A7C15))
+                >> np.uint64(40)) % np.uint64(n_parts)
+        cols["pkey"] = pa.array(pkey.astype(np.int32))
+    return pa.table(cols)
+
+
+def simhash_pairs_from_partition(g: pd.DataFrame,
+                                 max_hamming: int = 3) -> pd.DataFrame:
+    """map_groups fn over a ``pkey`` partition: segment the routed
+    (band_id, band_key) buckets with one lexsort and run the hamming
+    verification per bucket — O(n_parts) dispatches total."""
+    bid = g["band_id"].to_numpy(dtype=np.int64)
+    key = g["band_key"].to_numpy(dtype=np.uint64)
+    ids = g["doc_id"].to_numpy(dtype=np.int64)
+    hs = g["simhash"].to_numpy(dtype=np.uint64)
+    order = np.lexsort((ids, key, bid))
+    bid, key, ids, hs = bid[order], key[order], ids[order], hs[order]
+    new_seg = (bid[1:] != bid[:-1]) | (key[1:] != key[:-1])
+    seg = np.concatenate(([0], np.nonzero(new_seg)[0] + 1, [len(ids)]))
+    outs = []
+    for s, e in zip(seg[:-1], seg[1:]):
+        if e - s >= 2:
+            outs.append(simhash_pairs_from_band(
+                pd.DataFrame({"doc_id": ids[s:e], "simhash": hs[s:e]}),
+                max_hamming))
+    if not outs:
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64")})
+    return pd.concat(outs, ignore_index=True)
 
 
 def simhash_pairs_from_band(g: pd.DataFrame,
@@ -416,9 +490,10 @@ def simhash_neardup(corpus_ds, max_hamming: int = 3, n_bands: int = 4,
         batch_format="pyarrow")
     bands = sigs.map_batches(
         simhash_bands_stage, batch_format="pyarrow",
-        fn_kwargs={"id_col": id_col, "n_bands": n_bands})
-    cand = bands.groupby(["band_id", "band_key"]).map_groups(
-        lambda g: simhash_pairs_from_band(g, max_hamming),
+        fn_kwargs={"id_col": id_col, "n_bands": n_bands,
+                   "n_parts": 64})
+    cand = bands.groupby("pkey").map_groups(
+        lambda g: simhash_pairs_from_partition(g, max_hamming),
         batch_format="pandas")
     return (cand.groupby(["a", "b"])
             .aggregate(Count(alias_name="_nb"))
