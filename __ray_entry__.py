@@ -920,6 +920,97 @@ def q_hash_sample(sf_dir: str):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def q_label_centroids(sf_dir: str):
+    """Per-label centroid of the embeddings, in EXACT integer
+    micro-units per dimension — the one-pass (groupby-aggregate)
+    alternative to all-pairs intra-label similarity: the corpus
+    embeddings are unit-norm by construction, so mean pairwise cosine
+    of a label is derivable from ||centroid_sum|| alone, and only
+    (labels x dims) integers ever shuffle.
+
+    Cross-engine float discipline (the round-2 lesson): every op
+    BEFORE the round is a per-element IEEE op on the stored doubles
+    (val * 1e6), identical in any engine; everything after is exact
+    integer math.  Deliberately NOT re-normalizing inside the query:
+    a norm is a float SUM, and float-sum order is engine-defined
+    (DuckDB's list_sum is neither left-to-right nor reproducible by
+    numpy — measured: low-bit norm differences flipped 3 of 32k
+    roundings), so a normalized variant cannot be made value-hash
+    exact."""
+    from ray.data.aggregate import Sum
+
+    from nipper_ray.ops.similarity import embedding_matrix
+
+    rd = _rd()
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = embedding_matrix(t.column("embedding"))
+        labels = (t.column("label").to_numpy(zero_copy_only=False)
+                  .astype(np.int64))
+        u = m * 1e6
+        micro = np.copysign(np.floor(np.abs(u) + 0.5), u).astype(np.int64)
+        dims = m.shape[1] if len(m) else 0
+        uniq = np.unique(labels)
+        rows = {"label": [], "i": [], "centroid_micro": [],
+                "n_vectors": []}
+        for lbl in uniq:
+            sel = micro[labels == lbl]
+            sums = sel.sum(axis=0)      # exact int64
+            rows["label"].extend([int(lbl)] * dims)
+            rows["i"].extend(range(1, dims + 1))
+            rows["centroid_micro"].extend(int(x) for x in sums)
+            rows["n_vectors"].extend([len(sel)] * dims)
+        return pa.table({
+            "label": pa.array(rows["label"], pa.int64()),
+            "i": pa.array(rows["i"], pa.int64()),
+            "centroid_micro": pa.array(rows["centroid_micro"],
+                                       pa.int64()),
+            "n_vectors": pa.array(rows["n_vectors"], pa.int64()),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["label", "i"])
+            .aggregate(Sum("centroid_micro",
+                           alias_name="centroid_micro"),
+                       Sum("n_vectors", alias_name="n_vectors")))
+
+
+def q_stratified_sample(sf_dir: str, k: int = 20):
+    """Stratified (per-source) deterministic sampling: keep the k docs
+    per ``source`` with the smallest (md5(text), doc_id) — the
+    reproducible way to rebalance a corpus across sources.  Classic
+    combiner shape: per-batch per-source top-k first, so the single
+    groupby shuffles at most k rows per (source, batch)."""
+    import hashlib
+
+    rd = _rd()
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "source": t.column("source").to_pylist(),
+            "doc_id": t.column("doc_id").to_numpy(zero_copy_only=False),
+            "md5": [hashlib.md5((s or "").encode("utf-8")).hexdigest()
+                    for s in t.column("text").to_pylist()],
+        })
+        out = (df.sort_values(["source", "md5", "doc_id"])
+               .groupby("source", sort=False).head(k))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def final(g):
+        return (g.sort_values(["md5", "doc_id"]).head(k)
+                [["source", "doc_id"]])
+
+    cand = ds.map_batches(partial, batch_format="pyarrow")
+    return cand.groupby("source").map_groups(final,
+                                             batch_format="pandas")
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination (ops/decontam.py): docs whose distinct
     word-3-gram overlap with the benchmark subset (doc_id % 20 == 0,
@@ -1249,6 +1340,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize": q_normalize,
         "curate": q_curate,
         "hash_sample": q_hash_sample,
+        "stratified_sample": q_stratified_sample,
+        "label_centroids": q_label_centroids,
         "decontaminate": q_decontaminate,
         "fingerprint": q_fingerprint,
         "langid": q_langid,
@@ -1483,6 +1576,30 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies
             FROM documents GROUP BY md5(text)
+        """,
+        "stratified_sample": """
+            SELECT source, doc_id FROM (
+                SELECT source, doc_id,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY md5(text), doc_id) AS rn
+                FROM documents)
+            WHERE rn <= 20
+        """,
+        "label_centroids": """
+            WITH u AS (SELECT CAST(label AS BIGINT) AS lbl,
+                              unnest(range(1, len(embedding) + 1)) AS i,
+                              unnest(embedding) AS val
+                       FROM embeddings)
+            SELECT lbl AS label, CAST(i AS BIGINT) AS i,
+                   -- embedding elements are FLOAT32 in parquet:
+                   -- widen BEFORE multiplying or the product is
+                   -- computed in float32 and rounds differently
+                   CAST(sum(CAST(round(CAST(val AS DOUBLE) * 1000000)
+                                 AS BIGINT)) AS BIGINT)
+                       AS centroid_micro,
+                   count(*) AS n_vectors
+            FROM u GROUP BY lbl, i
         """,
         "decontaminate": """
             WITH w AS (SELECT doc_id,
