@@ -141,6 +141,27 @@ def test_fragment_differential():
         _check("<b>x</b><!--c--><p>y<![CDATA[z]]>", fragment=ctx)
 
 
+def test_goldens_pass_with_python_fallback():
+    """The 42 reference goldens run through the C path by default (it
+    wins make_tokenizer); pin the pure-Python fallback against the
+    SAME expected outputs so a no-compiler environment keeps full
+    conformance coverage."""
+    from test_html_dom import GOLDENS
+
+    real = ct.make_tokenizer
+    ct.make_tokenizer = lambda sink, h: Tokenizer(sink, h)
+    try:
+        for name, inp, exp in GOLDENS:
+            if exp is None:
+                exp = inp
+            t = TreeBuilder(fragment_ctx="body").parse(inp)
+            root_children = t.children_ids(0)
+            got = t.serialize(root_children[0], include_node=False)
+            assert got == exp, name
+    finally:
+        ct.make_tokenizer = real
+
+
 def test_adversarial_soup_differential():
     """Deterministic random soup over the tokenizer alphabet."""
     rng = random.Random(0xD1FF)
