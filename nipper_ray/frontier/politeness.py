@@ -139,6 +139,53 @@ def top_b_per_group(budget: int, wave_period_s: float = 300.0):
     return fn
 
 
+def add_group_pkey(batch: pa.Table, n_parts: int,
+                   with_salt: bool) -> pa.Table:
+    """Hash-partition column for the politeness groupbys: all rows of
+    one (host[, salt]) group land in one of ``n_parts`` partitions, so
+    the groupby dispatches O(n_parts) ``map_groups`` calls instead of
+    one per host (millions at 10^10-URL scale — the same executor-
+    dispatch hazard as LSH banding, same fix).  The salted phase keys
+    the hash on (host, salt) so a hot host still fans out over
+    partitions."""
+    # url_hash is xxh64(url); a host-stable hash must come from the
+    # host string itself
+    from .hashing import xxh64_batch
+
+    hh = xxh64_batch(batch.column("host").to_pylist())
+    if with_salt:
+        salt = batch.column("salt").to_numpy(zero_copy_only=False)
+        hh = hh ^ (salt.astype(np.uint64)
+                   * np.uint64(0x9E3779B97F4A7C15))
+    pkey = ((hh >> np.uint64(33)) % np.uint64(n_parts)).astype(np.int32)
+    return batch.append_column("pkey", pa.array(pkey))
+
+
+def top_b_per_partition(budget: int, by, wave_period_s: float = 300.0):
+    """map_groups fn over one pkey partition: the exact per-``by``
+    top-B of every group routed here, vectorized — one stable sort +
+    groupby.cumcount against the per-host Crawl-delay-capped budget
+    (identical semantics to ``top_b_per_group``, O(n_parts) dispatches
+    total)."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["priority", "url"],
+                          ascending=[False, True], kind="mergesort")
+        eff = np.full(len(g), budget, dtype=np.int64)
+        if "crawl_delay_s" in g.columns and len(g):
+            d = g.groupby(list(by), sort=False)["crawl_delay_s"] \
+                 .transform("first").to_numpy()
+            capped = d > 0
+            eff[capped] = np.minimum(
+                budget,
+                np.maximum(1, (wave_period_s // d[capped])
+                           .astype(np.int64)))
+        keep = g.groupby(list(by), sort=False).cumcount().to_numpy() < eff
+        return g[keep]
+
+    return fn
+
+
 def select_wave(frontier_ds, per_host_budget: int, wave_budget: int,
                 num_salts: int = SALT_N, salted: bool = True,
                 wave_period_s: float = 300.0):
@@ -151,17 +198,25 @@ def select_wave(frontier_ds, per_host_budget: int, wave_budget: int,
     single-phase top-B (top-B of a union of per-salt top-Bs) but fans a
     hot host's work over ``num_salts`` tasks. ``salted=False`` skips the
     extra shuffle for small frontiers; results are identical."""
+    n_parts = 64
     if salted:
         ds = frontier_ds.map_batches(
-            lambda t: add_salt(t, num_salts), batch_format="pyarrow")
-        ds = ds.groupby(["host", "salt"]).map_groups(
-            top_b_per_group(per_host_budget, wave_period_s),
+            lambda t: add_group_pkey(add_salt(t, num_salts), n_parts,
+                                     with_salt=True),
+            batch_format="pyarrow")
+        ds = ds.groupby("pkey").map_groups(
+            top_b_per_partition(per_host_budget, ("host", "salt"),
+                                wave_period_s),
             batch_format="pandas")
-        ds = ds.drop_columns(["salt"])
+        ds = ds.drop_columns(["salt", "pkey"])
     else:
         ds = frontier_ds
-    ds = ds.groupby("host").map_groups(
-        top_b_per_group(per_host_budget, wave_period_s),
+    ds = ds.map_batches(
+        lambda t: add_group_pkey(t, n_parts, with_salt=False),
+        batch_format="pyarrow")
+    ds = ds.groupby("pkey").map_groups(
+        top_b_per_partition(per_host_budget, ("host",), wave_period_s),
         batch_format="pandas")
+    ds = ds.drop_columns(["pkey"])
     ds = ds.sort(["priority", "url"], descending=[True, False])
     return ds.limit(wave_budget)
