@@ -800,8 +800,9 @@ def q_session_windows(sf_dir: str):
         out.insert(0, "user_id", g["user_id"].iloc[0])
         return out
 
-    return ds.groupby("user_id").map_groups(sessionize,
-                                            batch_format="pandas")
+    from nipper_ray.ops.grouping import routed_map_groups
+
+    return routed_map_groups(ds, ["user_id"], sessionize)
 
 
 def q_top_events_per_user(sf_dir: str):
@@ -821,7 +822,9 @@ def q_top_events_per_user(sf_dir: str):
         out["rank"] = range(1, len(out) + 1)
         return out
 
-    return ds.groupby("user_id").map_groups(topn, batch_format="pandas")
+    from nipper_ray.ops.grouping import routed_map_groups
+
+    return routed_map_groups(ds, ["user_id"], topn)
 
 
 # ---------------------------------------------------------------------------

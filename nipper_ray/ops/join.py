@@ -140,7 +140,11 @@ def asof_join(left, right, by: str, on: str, right_cols,
                 out[c] = out[c].astype(rg[c].dtype)
         return out
 
-    return unioned.groupby(by).map_groups(merge, batch_format="pandas")
+    from .grouping import routed_map_groups
+
+    # routed (bounded-dispatch) per-key groupby: millions of `by` keys
+    # would otherwise cost one executor dispatch each
+    return routed_map_groups(unioned, [by], merge)
 
 
 def range_join_broadcast(ds, intervals, value_col: str,
