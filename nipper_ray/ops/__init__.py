@@ -1,1 +1,2 @@
-from . import dedup, similarity, textstats, multimodal  # noqa: F401
+from . import (dedup, decontam, grouping, multimodal,  # noqa: F401
+               similarity, textstats)
