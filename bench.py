@@ -154,7 +154,8 @@ def bench_crawl() -> tuple:
         fixtures_dir=os.path.join(REPO, "tests", "fixtures"))
     dt = time.perf_counter() - t0
     pages = sum(m["pages_fetched"] for m in metrics)
-    return dt, pages
+    phases = [m["phase_sec"] for m in metrics]
+    return dt, pages, phases
 
 
 def bench_ops(queries: dict, rates: dict) -> None:
@@ -218,9 +219,12 @@ def main():
     rates["dedup_urls_per_sec"] = round(n_urls / dt, 1)
     rates["dedup_unique_kept"] = kept
 
-    dt, crawled = bench_crawl()
+    dt, crawled, phases = bench_crawl()
     queries["crawl_2waves"] = round(dt, 3)
     rates["crawl_pages_per_sec"] = round(crawled / dt, 1)
+    # per-wave phase split: shows the wall is fixed-overhead-bound at
+    # this scale (see BASELINE.md round-3 attribution)
+    rates["crawl_wave_phases"] = phases
 
     # headline value = the 3 crawl pipelines (comparable across rounds);
     # the ops section below is timed separately in `queries`

@@ -386,6 +386,8 @@ class CrawlJob:
         }
         ckpt.write_checkpoint(self._ckpt_dir(k), self.seen,
                               self.num_shards, metrics)
+        metrics["phase_sec"]["checkpoint"] = round(
+            time.perf_counter() - t_outlinks, 2)
         return metrics
 
     def shutdown(self):
