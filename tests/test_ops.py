@@ -619,3 +619,28 @@ def test_popcount64_matches_bin():
     want = [bin(int(x)).count("1") for x in xs]
     assert got.tolist() == want
     assert hamming64(0xFF, 0x0F) == 4
+
+
+def test_routed_map_groups_equivalence(ray_session):
+    """routed_map_groups == groupby(keys).map_groups for a per-key fn,
+    including string keys and empty-output groups."""
+    import pandas as pd
+    import ray.data as rd
+
+    from nipper_ray.ops.grouping import routed_map_groups
+
+    t = pa.table({
+        "k": pa.array([f"key{i % 37}" for i in range(500)]),
+        "v": pa.array(np.arange(500, dtype=np.int64) * 7 % 101),
+    })
+
+    def top2(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["v"], ascending=False, kind="mergesort")
+        return g.head(2) if g["v"].iloc[0] % 2 == 0 else g.iloc[0:0]
+
+    want = (rd.from_arrow(t).groupby("k")
+            .map_groups(top2, batch_format="pandas").to_pandas())
+    got = routed_map_groups(rd.from_arrow(t), ["k"], top2,
+                            n_parts=8).to_pandas()
+    key = lambda df: df.sort_values(["k", "v"], ignore_index=True)
+    pd.testing.assert_frame_equal(key(want), key(got))
