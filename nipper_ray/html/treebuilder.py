@@ -598,12 +598,24 @@ class TreeBuilder:
             if last and self.fragment_ctx is not None:
                 name = self.fragment_ctx
             else:
-                name = nodes[self.open[i]].name
+                node = nodes[self.open[i]]
+                name = node.name
+                # the reset algorithm's name cases mean HTML elements:
+                # a FOREIGN <template>/<select>/... (e.g. inside <svg>)
+                # must not match (an svg "template" has no entry in
+                # template_modes — found by the deep soup fuzz)
+                if node.ns != HTML_NS:
+                    if last:
+                        self.mode = IN_BODY
+                        return
+                    continue
             if name == "select":
                 mode = IN_SELECT
                 if not last:
                     for j in range(i - 1, 0, -1):
                         nj = nodes[self.open[j]]
+                        if nj.ns != HTML_NS:
+                            continue
                         if nj.name == "template":
                             break
                         if nj.name == "table":

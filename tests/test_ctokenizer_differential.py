@@ -121,6 +121,11 @@ EDGE_CASES = [
     "<a b='c'd='e'>nospace</a>",
     "<a b=c/>selfish</a>",
     "<meta charset=utf-8><body>x",
+    # reset-insertion-mode must ignore FOREIGN template/select elements
+    # (svg "template" has no template_modes entry) — deep-fuzz find
+    "<svg><template><title><select><select>",
+    "<svg><select><select>",
+    "<math><template><select>x",
 ]
 
 
@@ -171,7 +176,9 @@ def test_adversarial_soup_differential():
              "<script>", "</script>", "<title>", "</title>", "<svg>",
              "</svg>", "<![CDATA[", "]]>", "<!doctype html>", "<table>",
              "<td>", "<li>", "<b>", "</b>", "<plaintext>", "<textarea>",
-             "</textarea>", "\r\n", "\r"]
+             "</textarea>", "\r\n", "\r", "<math>", "</math>",
+             "<template>", "</template>", "<select>", "<noscript>",
+             "<xmp>", "</xmp>", "\x00"]
     for trial in range(300):
         html = "".join(rng.choice(atoms)
                        for _ in range(rng.randrange(1, 60)))
