@@ -89,7 +89,11 @@ class CTokenizer:
         b = self.b
         n = len(b)
         sink = self.sink
-        cap = 1 << 15
+        # size the record buffer to the document, but only in THREE
+        # quantized buckets: `(c_int32 * cap)` creates (and caches) a
+        # ctypes array TYPE per distinct cap, so a per-document cap
+        # would manufacture types faster than it saves allocation
+        cap = 1024 if n <= 1024 else (8192 if n <= 8192 else 1 << 15)
         buf = (ctypes.c_int32 * cap)()
         count = ctypes.c_int64()
         reason = ctypes.c_int32()
