@@ -587,6 +587,91 @@ def q_promo_revenue(sf_dir: str):
     return agg.map_batches(finalize, batch_format="pandas")
 
 
+def q_part_profit(sf_dir: str):
+    """TPC-H-Q9-shaped chain: TWO large-large hash joins in one
+    pipeline (lineitem x 'red'-part on partkey, then x orders on
+    orderkey) with supplier-nation as a broadcast lookup — revenue by
+    (supplier nation, order year) for red parts.  Both join legs are
+    column-pruned and filtered BELOW their shuffles; money is exact
+    integer cents end to end."""
+    from ray.data.aggregate import Sum
+
+    from nipper_ray.ops.join import hash_join
+
+    rd = _rd()
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_name"])
+    red = part.filter(pc.match_substring(part.column("p_name"), "red"))
+    red_keys = pa.array(red.column("p_partkey").to_pylist(), pa.int64())
+
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                        columns=["n_nationkey", "n_name"])
+    nat_name = dict(zip(nat.column("n_nationkey").to_pylist(),
+                        nat.column("n_name").to_pylist()))
+    s_keys = pa.array(supp.column("s_suppkey").to_pylist(), pa.int64())
+    s_vals = pa.array(
+        [nat_name[k] for k in supp.column("s_nationkey").to_pylist()],
+        pa.string())
+
+    def prep_line(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t.column("l_partkey"),
+                              value_set=red_keys))
+        revenue = pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        cents = pc.cast(
+            pc.round(pc.multiply(revenue, pa.scalar(100.0)),
+                     round_mode="half_towards_infinity"), pa.int64())
+        n_name = pc.take(s_vals, pc.index_in(t.column("l_suppkey"),
+                                             value_set=s_keys))
+        return pa.table({"l_orderkey": t.column("l_orderkey"),
+                         "n_name": n_name, "rev_cents": cents})
+
+    def prep_orders(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey"),
+            "o_year": pc.cast(pc.year(t.column("o_orderdate")),
+                              pa.int64())})
+
+    line = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"]
+    ).map_batches(prep_line, batch_format="pyarrow")
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate"]
+    ).map_batches(prep_orders, batch_format="pyarrow")
+    j = hash_join(line, orders, on=("l_orderkey",),
+                  right_on=("o_orderkey",), num_partitions=8)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ones = pa.array(np.ones(len(t), dtype=np.int64))
+        tb = pa.table({"n_name": t.column("n_name"),
+                       "o_year": t.column("o_year"),
+                       "rev_cents": t.column("rev_cents"),
+                       "n_items": ones})
+        g = tb.group_by(["n_name", "o_year"]).aggregate(
+            [("rev_cents", "sum"), ("n_items", "sum")])
+        return g.rename_columns(
+            ["n_name", "o_year", "rev_cents", "n_items"])
+
+    agg = j.map_batches(partial, batch_format="pyarrow").groupby(
+        ["n_name", "o_year"]).aggregate(
+            Sum("rev_cents", alias_name="rev_cents"),
+            Sum("n_items", alias_name="n_items"))
+
+    def finalize(df):
+        df = df.assign(revenue=df.rev_cents.astype("float64") / 100.0)
+        return df[["n_name", "o_year", "n_items", "revenue"]]
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
 def q_top_users(sf_dir: str):
     """filter -> groupby -> global sort -> limit (top-k)."""
     from ray.data.aggregate import Count, Sum
@@ -1329,6 +1414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_revenue": q_segment_revenue,
         "region_revenue": q_region_revenue,
         "promo_revenue": q_promo_revenue,
+        "part_profit": q_part_profit,
         "top_users": q_top_users,
         "hourly_windows": q_hourly_windows,
         "session_windows": q_session_windows,
@@ -1423,6 +1509,21 @@ def oracle_sql() -> dict[str, str]:
                     AND l_shipdate < TIMESTAMP '1996-07-01') l
             JOIN part ON l.l_partkey = p_partkey
             GROUP BY p_brand
+        """,
+        "part_profit": """
+            SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   count(*) AS n_items,
+                   CAST(sum(CAST(round(l_extendedprice
+                                       * (1 - l_discount) * 100)
+                                 AS BIGINT)) AS DOUBLE) / 100.0
+                       AS revenue
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%red%'
+            GROUP BY n_name, o_year
         """,
         "top_users": """
             SELECT user_id, count(*) AS n_clicks,
