@@ -7,6 +7,43 @@ import pytest
 from nipper_ray.html import parse_document
 
 CASES = [
+    ("select_swallows_table", "<select><table><tr><td>x",
+     "<html><head></head><body><select>x</select></body></html>"),
+    ("ruby_rt_implied", "<ruby>a<rt>r</ruby>",
+     "<html><head></head><body><ruby>a<rt>r</rt></ruby></body></html>"),
+    ("nobr_sibling", "<nobr>1<nobr>2",
+     "<html><head></head><body><nobr>1</nobr><nobr>2</nobr>"
+     "</body></html>"),
+    ("template_in_table",
+     "<table><template><tr><td>t</td></tr></template></table>",
+     "<html><head></head><body><table><template><tr><td>t</td></tr>"
+     "</template></table></body></html>"),
+    ("svg_desc_integration", "<svg><desc><b>bold</b></desc></svg>",
+     "<html><head></head><body><svg><desc><b>bold</b></desc></svg>"
+     "</body></html>"),
+    ("mtext_integration", "<math><mtext><b>b</b></mtext></math>",
+     "<html><head></head><body><math><mtext><b>b</b></mtext></math>"
+     "</body></html>"),
+    ("svg_script_foreign", "<svg><script>var x;</script></svg>after",
+     "<html><head></head><body><svg><script>var x;</script></svg>"
+     "after</body></html>"),
+    ("frameset_noframes",
+     "<frameset><frame></frameset><noframes>nf</noframes>",
+     "<html><head></head><frameset><frame></frameset>"
+     "<noframes>nf</noframes></html>"),
+    ("frameset_after_body_ignored", "<body><frameset>x</frameset>",
+     "<html><head></head><body>x</body></html>"),
+    ("a_in_a_adoption", "<a>1<a>2</a>",
+     "<html><head></head><body><a>1</a><a>2</a></body></html>"),
+    ("button_closes_button", "<button>1<button>2",
+     "<html><head></head><body><button>1</button><button>2</button>"
+     "</body></html>"),
+    ("option_optgroup_implied", "<option>a<optgroup>g<option>b",
+     "<html><head></head><body><option>a</option><optgroup>g"
+     "<option>b</option></optgroup></body></html>"),
+    ("svg_title_not_rcdata", "<svg><title>t</title></svg>tail",
+     "<html><head></head><body><svg><title>t</title></svg>tail"
+     "</body></html>"),
     ("implied_tbody", "<table><tr><td>x</td></tr></table>",
      "<html><head></head><body><table><tbody><tr><td>x</td></tr>"
      "</tbody></table></body></html>"),
