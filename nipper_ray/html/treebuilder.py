@@ -1291,7 +1291,13 @@ class TreeBuilder:
         saved = self.mode
         self.mode = IN_BODY
         self._in_body_start(name, attrs, self_closing)
-        self.mode = saved if self.mode == IN_BODY else self.mode
+        if self.mode == IN_BODY:
+            self.mode = saved
+        elif self.mode == IN_SELECT and saved in (
+                IN_TABLE, IN_CAPTION, IN_TABLE_BODY, IN_ROW, IN_CELL):
+            # in-body <select> picks select-in-table when the REAL mode
+            # is a table mode — the wrapper masked it as IN_BODY
+            self.mode = IN_SELECT_IN_TABLE
         self.foster = False
 
     def _template_on_stack(self):

@@ -7,6 +7,13 @@ import pytest
 from nipper_ray.html import parse_document
 
 CASES = [
+    ("fostered_select_in_table", "<table><select><option>o</table>z",
+     "<html><head></head><body><select><option>o</option></select>"
+     "<table></table>z</body></html>"),
+    ("select_in_cell", "<table><tr><td><select><option>c</table>t",
+     "<html><head></head><body><table><tbody><tr><td><select>"
+     "<option>c</option></select></td></tr></tbody></table>t"
+     "</body></html>"),
     ("select_swallows_table", "<select><table><tr><td>x",
      "<html><head></head><body><select>x</select></body></html>"),
     ("ruby_rt_implied", "<ruby>a<rt>r</ruby>",
