@@ -7,6 +7,30 @@ import pytest
 from nipper_ray.html import parse_document
 
 CASES = [
+    ("table_section_closes", "<table><tbody><tfoot><thead>x</table>",
+     "<html><head></head><body>x<table><tbody></tbody><tfoot></tfoot>"
+     "<thead></thead></table></body></html>"),
+    ("html_attrs_first_wins", "<html lang=a><html lang=b><body>x",
+     '<html lang="a"><head></head><body>x</body></html>'),
+    ("body_attrs_merge", "<body class=a><body id=b>x",
+     '<html><head></head><body class="a" id="b">x</body></html>'),
+    ("afe_marker_blocks_cell_end",
+     "<b><table><td></b><i></table>x",
+     "<html><head></head><body><b><table><tbody><tr><td><i></i></td>"
+     "</tr></tbody></table>x</b></body></html>"),
+    ("table_start_closes_p", "<p><table><p>in</table>after",
+     "<html><head></head><body><p></p><p>in</p><table></table>after"
+     "</body></html>"),
+    ("form_pointer_blocks_second",
+     "<form><table><form><tr><td>x</table>",
+     "<html><head></head><body><form><table><tbody><tr><td>x</td>"
+     "</tr></tbody></table></form></body></html>"),
+    ("p_end_in_h1_inserts_empty_p", "<p>1<h1>2</p>3</h1>4",
+     "<html><head></head><body><p>1</p><h1>2<p></p>3</h1>4"
+     "</body></html>"),
+    ("fostered_div_from_row", "<table><tr><div><td>c</table>",
+     "<html><head></head><body><div></div><table><tbody><tr><td>c"
+     "</td></tr></tbody></table></body></html>"),
     ("fostered_select_in_table", "<table><select><option>o</table>z",
      "<html><head></head><body><select><option>o</option></select>"
      "<table></table>z</body></html>"),
