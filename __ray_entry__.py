@@ -672,6 +672,64 @@ def q_part_profit(sf_dir: str):
     return agg.map_batches(finalize, batch_format="pandas")
 
 
+def q_pagerank(sf_dir: str):
+    """Distributed link-graph PageRank (ops/rank.py): the crawl
+    frontier's authority prioritization as an iterative pipeline —
+    one hash join + one groupby per iteration over (node, int64)
+    rows.  Exact integer arithmetic end to end (RANK_SCALE units,
+    floor division both sides), so the DuckDB oracle's unrolled-CTE
+    iterations are bit-identical."""
+    import pyarrow.parquet as pq
+
+    from nipper_ray.ops.rank import edges_from_docs_stage, pagerank
+
+    rd = _rd()
+    path = os.path.join(sf_dir, "documents.parquet")
+    nd = pq.ParquetFile(path).metadata.num_rows
+    docs = rd.read_parquet(path, columns=["doc_id"])
+    edges = docs.map_batches(edges_from_docs_stage,
+                             batch_format="pyarrow",
+                             fn_kwargs={"n_docs": nd})
+    return pagerank(edges, nd, iters=5)
+
+
+def _pagerank_sql(iters: int = 5) -> str:
+    """Unrolled-CTE mirror of ops/rank.pagerank (exact integers)."""
+    head = """
+            WITH nn AS (SELECT count(*) AS nd FROM documents),
+            e0 AS (
+                SELECT doc_id AS src,
+                       (doc_id * 7919 + g.i * 104729 + g.i * g.i)
+                           %% nn.nd AS dst
+                FROM documents, generate_series(0, 7) g(i), nn
+                UNION ALL
+                SELECT doc_id, (doc_id + 1) %% nn.nd FROM documents, nn
+                UNION ALL
+                SELECT doc_id, (doc_id * 7919) %% nn.nd
+                FROM documents, nn),
+            e AS (SELECT DISTINCT src, dst FROM e0),
+            od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+            ed AS (SELECT e.src, e.dst, od.outdeg
+                   FROM e JOIN od USING (src)),
+            r1 AS (SELECT ed.dst AS node,
+                          (15 * (1000000000000 // nn.nd)) // 100
+                          + (85 * sum((1000000000000 // nn.nd)
+                                      // ed.outdeg)) // 100 AS r
+                   FROM ed, nn GROUP BY ed.dst, nn.nd)"""
+    parts = [head % ()]
+    for t in range(2, iters + 1):
+        parts.append(""",
+            r%d AS (SELECT ed.dst AS node,
+                          (15 * (1000000000000 // nn.nd)) // 100
+                          + (85 * sum(r%d.r // ed.outdeg)) // 100 AS r
+                   FROM ed JOIN r%d ON r%d.node = ed.src, nn
+                   GROUP BY ed.dst, nn.nd)""" % (t, t - 1, t - 1, t - 1))
+    parts.append("""
+            SELECT node AS doc_id, CAST(r AS BIGINT) AS rank_u
+            FROM r%d""" % iters)
+    return "".join(parts)
+
+
 def q_top_users(sf_dir: str):
     """filter -> groupby -> global sort -> limit (top-k)."""
     from ray.data.aggregate import Count, Sum
@@ -1415,6 +1473,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_revenue": q_region_revenue,
         "promo_revenue": q_promo_revenue,
         "part_profit": q_part_profit,
+        "pagerank": q_pagerank,
         "top_users": q_top_users,
         "hourly_windows": q_hourly_windows,
         "session_windows": q_session_windows,
@@ -1525,6 +1584,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE p_name LIKE '%red%'
             GROUP BY n_name, o_year
         """,
+        "pagerank": _pagerank_sql(5),
         "top_users": """
             SELECT user_id, count(*) AS n_clicks,
                    round(CAST(sum(CAST(round(value * 1000000) AS BIGINT))

@@ -644,3 +644,28 @@ def test_routed_map_groups_equivalence(ray_session):
                             n_parts=8).to_pandas()
     key = lambda df: df.sort_values(["k", "v"], ignore_index=True)
     pd.testing.assert_frame_equal(key(want), key(got))
+
+
+def test_pagerank_integer_properties(ray_session):
+    """Exact-integer PageRank sanity on a small synthetic ring+links
+    graph: all nodes ranked, total mass conserved up to the documented
+    floor leakage, determinism across runs."""
+    import ray.data as rd
+
+    from nipper_ray.ops.rank import (RANK_SCALE, edges_from_docs_stage,
+                                     pagerank)
+
+    n = 60
+    docs = pa.table({"doc_id": pa.array(range(n), pa.int64())})
+    edges = rd.from_arrow(docs).map_batches(
+        edges_from_docs_stage, batch_format="pyarrow",
+        fn_kwargs={"n_docs": n})
+    r = pagerank(edges, n, iters=4).to_pandas()
+    assert len(r) == n and set(r.doc_id) == set(range(n))
+    total = r.rank_u.sum()
+    # floor leakage only ever loses mass, bounded by ~1 unit per
+    # edge/node per iteration
+    assert 0.95 * RANK_SCALE < total <= RANK_SCALE
+    r2 = pagerank(edges, n, iters=4).to_pandas()
+    assert sorted(zip(r.doc_id, r.rank_u)) == sorted(zip(r2.doc_id,
+                                                         r2.rank_u))
