@@ -672,6 +672,78 @@ def q_part_profit(sf_dir: str):
     return agg.map_batches(finalize, batch_format="pandas")
 
 
+def q_unshipped_parts(sf_dir: str):
+    """Large-large ANTI join (ops/join.anti_join): parts with no
+    lineitem shipment in a 2-month window — NOT EXISTS at scale.
+    Only (key, marker) rows of the right side ever shuffle."""
+    from nipper_ray.ops.join import anti_join
+
+    rd = _rd()
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1996-03-01", "us"))
+    part = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                           columns=["p_partkey", "p_brand"])
+    line = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_shipdate"]
+    ).map_batches(
+        lambda t: t.filter(pc.and_(
+            pc.greater_equal(t.column("l_shipdate"), lo),
+            pc.less(t.column("l_shipdate"), hi))).select(["l_partkey"]),
+        batch_format="pyarrow")
+    return anti_join(part, line, on=("p_partkey",),
+                     right_on=("l_partkey",))
+
+
+def q_price_quantiles(sf_dir: str):
+    """Exact distributed quantiles via the value-histogram pattern:
+    per-batch (flag, cents) partial counts -> one narrow groupby ->
+    per-flag cumulative pick.  Matches DuckDB's quantile_disc rule
+    (sorted element at ceil(q*n)-1) on exact integer cents, so the
+    oracle is value-identical — no sampling, no sketch error."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_returnflag", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(t.column("l_extendedprice"),
+                                 pa.scalar(100.0)),
+                     round_mode="half_towards_infinity"), pa.int64())
+        tb = pa.table({"l_returnflag": t.column("l_returnflag"),
+                       "cents": cents})
+        g = tb.group_by(["l_returnflag", "cents"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["l_returnflag", "cents", "n"])
+
+    hist = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["l_returnflag", "cents"]).aggregate(Sum("n", alias_name="n"))
+
+    QS = (0.25, 0.5, 0.9, 0.99)
+
+    def pick(g):
+        g = g.sort_values("cents")
+        c = g["n"].to_numpy().cumsum()
+        n = int(c[-1])
+        row = {"l_returnflag": g["l_returnflag"].iloc[0],
+               "n_items": np.int64(n)}
+        vals = g["cents"].to_numpy()
+        for q in QS:
+            k = max(1, math.ceil(q * n))
+            idx = int(np.searchsorted(c, k))
+            row["p%d" % int(q * 100)] = vals[idx] / 100.0
+        import pandas as pd
+
+        return pd.DataFrame([row])
+
+    return hist.groupby("l_returnflag").map_groups(
+        pick, batch_format="pandas")
+
+
 def q_pagerank(sf_dir: str):
     """Distributed link-graph PageRank (ops/rank.py): the crawl
     frontier's authority prioritization as an iterative pipeline —
@@ -1474,6 +1546,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue": q_promo_revenue,
         "part_profit": q_part_profit,
         "pagerank": q_pagerank,
+        "unshipped_parts": q_unshipped_parts,
+        "price_quantiles": q_price_quantiles,
         "top_users": q_top_users,
         "hourly_windows": q_hourly_windows,
         "session_windows": q_session_windows,
@@ -1585,6 +1659,30 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY n_name, o_year
         """,
         "pagerank": _pagerank_sql(5),
+        "unshipped_parts": """
+            SELECT p_partkey, p_brand FROM part p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_partkey = p.p_partkey
+                  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l.l_shipdate < TIMESTAMP '1996-03-01')
+        """,
+        "price_quantiles": """
+            SELECT l_returnflag, count(*) AS n_items,
+                   CAST(quantile_disc(cents, 0.25) AS DOUBLE) / 100.0
+                       AS p25,
+                   CAST(quantile_disc(cents, 0.50) AS DOUBLE) / 100.0
+                       AS p50,
+                   CAST(quantile_disc(cents, 0.90) AS DOUBLE) / 100.0
+                       AS p90,
+                   CAST(quantile_disc(cents, 0.99) AS DOUBLE) / 100.0
+                       AS p99
+            FROM (SELECT l_returnflag,
+                         CAST(round(l_extendedprice * 100) AS BIGINT)
+                             AS cents
+                  FROM lineitem)
+            GROUP BY l_returnflag
+        """,
         "top_users": """
             SELECT user_id, count(*) AS n_clicks,
                    round(CAST(sum(CAST(round(value * 1000000) AS BIGINT))

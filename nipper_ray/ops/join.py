@@ -39,6 +39,40 @@ def hash_join(left, right, on, right_on=None, num_partitions: int = 8,
                      right_on=right_on)
 
 
+def anti_join(left, right, on, right_on=None, num_partitions: int = 8):
+    """Distributed anti join: left rows with NO match in right.
+
+    The right side is reduced to (key, marker) rows before the
+    shuffle — only keys move — then a left-outer ``Dataset.join``
+    and a null-marker filter.  The classic NOT EXISTS shape for
+    large-large sides (the frontier-vs-seen set uses the sharded
+    cuckoo probe instead because its right side is a mutable index)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    on = tuple(on) if not isinstance(on, str) else (on,)
+    right_on = (on if right_on is None
+                else (tuple(right_on) if not isinstance(right_on, str)
+                      else (right_on,)))
+
+    def keys_only(t: pa.Table) -> pa.Table:
+        # batch-local key dedup (combiner): bounds the left_outer
+        # match multiplication to one row per key per batch
+        d = t.select(list(right_on)).group_by(
+            list(right_on)).aggregate([])
+        cols = {c: d.column(c) for c in right_on}
+        cols["__m"] = pa.array([1] * len(d), pa.int8())
+        return pa.table(cols)
+
+    r = right.map_batches(keys_only, batch_format="pyarrow")
+    j = left.join(r, "left_outer", num_partitions, on=on,
+                  right_on=right_on)
+    return j.map_batches(
+        lambda t: t.filter(pc.is_null(t.column("__m")))
+        .drop_columns(["__m"]),
+        batch_format="pyarrow")
+
+
 def asof_join(left, right, by: str, on: str, right_cols,
               direction: str = "backward", inner: bool = True,
               right_tiebreak=None):
