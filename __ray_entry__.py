@@ -1017,6 +1017,49 @@ def q_session_windows(sf_dir: str):
 
     from nipper_ray.ops.grouping import routed_map_groups
 
+    if os.environ.get("NIPPER_RAY_SALT"):
+        # Hot-key rescue (exact): salt by a time-RANGE bucket so each
+        # sub-group is time-contiguous; partials carry (first_ts,
+        # last_ts) so the combine can stitch sessions across bucket
+        # boundaries (gap rule applied to inter-partial gaps — exact
+        # because bucket ranges are disjoint, so partial sessions of a
+        # user are totally ordered in time).
+        def add_bucket(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "_tsbucket",
+                pc.floor_temporal(t.column("ts"), unit="day"))
+
+        def sessionize_partial(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.drop(columns=["_tsbucket"])
+            g = g.sort_values(["ts", "event_id"], kind="mergesort")
+            gap = g["ts"].diff() > pd.Timedelta(minutes=30)
+            agg = g.assign(_sid=gap.cumsum()).groupby(
+                "_sid", as_index=False).agg(
+                    n_events=("event_id", "count"),
+                    first_ts=("ts", "min"),
+                    last_ts=("ts", "max"))
+            agg.insert(0, "user_id", g["user_id"].iloc[0])
+            return agg[["user_id", "first_ts", "last_ts", "n_events"]]
+
+        def sessions_combine(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["first_ts", "last_ts"], kind="mergesort")
+            # partials are disjoint time intervals in order, so
+            # last_ts is nondecreasing and shift() is the rolling max
+            new = (g["first_ts"] - g["last_ts"].shift()) \
+                > pd.Timedelta(minutes=30)
+            sid = new.cumsum() + 1
+            out = g.assign(session_id=sid.astype(np.int64)).groupby(
+                "session_id", as_index=False).agg(
+                    n_events=("n_events", "sum"),
+                    session_start=("first_ts", "min"))
+            out.insert(0, "user_id", g["user_id"].iloc[0])
+            return out
+
+        salted = ds.map_batches(add_bucket, batch_format="pyarrow")
+        return routed_map_groups(salted, ["user_id"], sessionize_partial,
+                                 salt=("_tsbucket", None),
+                                 combine_fn=sessions_combine)
+
     return routed_map_groups(ds, ["user_id"], sessionize)
 
 
@@ -1038,6 +1081,12 @@ def q_top_events_per_user(sf_dir: str):
         return out
 
     from nipper_ray.ops.grouping import routed_map_groups
+
+    if os.environ.get("NIPPER_RAY_SALT"):
+        # top-N is combinable: topn(concat(topn(parts))) == topn(whole),
+        # so the two-phase salted reduction reuses fn as its combine.
+        return routed_map_groups(ds, ["user_id"], topn,
+                                 salt=("event_id", 8))
 
     return routed_map_groups(ds, ["user_id"], topn)
 
@@ -1367,8 +1416,11 @@ def q_embedding_neardup_approx(sf_dir: str):
     """High-threshold approximate regime (ops/dedup.py
     embedding_neardup_approx): banded-LSH candidates + exact in-bucket
     cosine.  Every emitted pair is exact-verified, so approx ⊆ exact —
-    the oracle (exact SQL join at the same threshold) is a genuine
-    PRECISION gate; recall is pinned by the pytest recall test on
+    the oracle (exact SQL join at the same threshold) compares the
+    PAIR SET only — the engine's float64-dot cosine and DuckDB's
+    list_cosine_similarity sum floats in different orders, so a rounded
+    cosine column would be fragile at the 6-dp boundary (the round-3
+    float-sum lesson); recall is pinned by the pytest recall test on
     planted high-cosine pairs (the shipped corpus has none >= 0.8, so
     this row is empty-vs-empty by construction)."""
     import pandas as pd
@@ -1388,9 +1440,8 @@ def q_embedding_neardup_approx(sf_dir: str):
     df = out.to_pandas()
     if len(df.columns) == 0:
         df = pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                           "b": pd.Series([], dtype="int64"),
-                           "cosine": pd.Series([], dtype="float64")})
-    return df[["a", "b", "cosine"]]
+                           "b": pd.Series([], dtype="int64")})
+    return df[["a", "b"]]
 
 
 # ---------------------------------------------------------------------------
@@ -1918,9 +1969,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY a, b
         """,
         "embedding_neardup_approx": """
-            SELECT e1.vec_id AS a, e2.vec_id AS b,
-                   round(list_cosine_similarity(
-                       e1.embedding, e2.embedding), 6) AS cosine
+            SELECT e1.vec_id AS a, e2.vec_id AS b
             FROM embeddings e1 JOIN embeddings e2
               ON e1.vec_id < e2.vec_id
             WHERE round(list_cosine_similarity(

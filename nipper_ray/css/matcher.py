@@ -195,6 +195,15 @@ def _match_attr(node, simple) -> bool:
 
 
 def _match_pseudo(tree, nid, node, name) -> bool:
+    if name == "link" or name == "any-link":
+        # selectors 0.22 evaluates :link/:any-link via Element::is_link();
+        # the reference impl (element.rs:134-142) returns true iff the node
+        # is an element whose LOCAL NAME is literally "link" (any namespace,
+        # href irrelevant) — so <link> matches and <a href> does not.
+        return node.kind == ELEMENT and node.name == "link"
+    if name == "visited":
+        # Default VisitedHandlingMode::AllLinksUnvisited: never matches.
+        return False
     if name == "root" or name == "scope":
         # :root matches the Document node (element.rs:215-217); with no
         # explicit scope element, :scope behaves the same way.

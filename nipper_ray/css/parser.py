@@ -43,6 +43,11 @@ _NTH_RE = re.compile(
 PSEUDO_NO_ARG = frozenset([
     "root", "empty", "first-child", "last-child", "only-child",
     "first-of-type", "last-of-type", "only-of-type", "scope",
+    # selectors-0.22 built-in link pseudo-classes: routed through
+    # Element::is_link() (reference element.rs:134-142), which returns
+    # true iff the element's local name is literally "link".  :visited
+    # never matches (VisitedHandlingMode::AllLinksUnvisited default).
+    "link", "any-link", "visited",
 ])
 PSEUDO_NTH = frozenset([
     "nth-child", "nth-last-child", "nth-of-type", "nth-last-of-type",

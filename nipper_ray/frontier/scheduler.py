@@ -388,6 +388,9 @@ class CrawlJob:
                               self.num_shards, metrics)
         metrics["phase_sec"]["checkpoint"] = round(
             time.perf_counter() - t_outlinks, 2)
+        # keep the persisted manifest consistent with the returned/bench
+        # metrics (the checkpoint phase can only be timed after the fact)
+        ckpt.amend_manifest(self._ckpt_dir(k), metrics)
         return metrics
 
     def shutdown(self):

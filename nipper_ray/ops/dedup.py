@@ -617,6 +617,18 @@ def _emb_bands_stage(batch: pa.Table, id_col: str, planes: np.ndarray,
     quadratic hazard)."""
     from .similarity import embedding_matrix
 
+    if len(batch) == 0:
+        # empty blocks reach map_batches stages after upstream filters;
+        # embedding_matrix would return (0, 0) and the matmul against
+        # the (L*b, dim) plane stack would raise
+        return pa.table({
+            "pkey": pa.array([], pa.int32()),
+            "bucket": pa.array([], pa.int64()),
+            id_col: pa.array([], pa.int64()),
+            "embedding": batch.column("embedding").combine_chunks()
+            if isinstance(batch.column("embedding"), pa.ChunkedArray)
+            else batch.column("embedding"),
+        })
     ids = batch.column(id_col).to_numpy(zero_copy_only=False)
     m = embedding_matrix(batch.column("embedding"))
     norms = np.linalg.norm(m, axis=1)

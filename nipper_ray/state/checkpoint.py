@@ -36,6 +36,17 @@ def write_checkpoint(ck: str, seen, num_shards: int, metrics: dict) -> None:
         f.write("")
 
 
+def amend_manifest(ck: str, metrics: dict) -> None:
+    """Rewrite the manifest (e.g. to add the checkpoint-phase timing,
+    which can only be measured after write_checkpoint returns).
+    Atomic replace so a crash mid-amend never leaves a corrupt manifest
+    behind an existing _SUCCESS marker."""
+    tmp = os.path.join(ck, "manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(metrics, f, indent=1)
+    os.replace(tmp, os.path.join(ck, "manifest.json"))
+
+
 def read_manifest(ck: str) -> dict:
     with open(os.path.join(ck, "manifest.json")) as f:
         return json.load(f)

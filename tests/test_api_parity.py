@@ -202,3 +202,43 @@ def test_parse_errors_do_not_change_recovery():
     d = Document("<b><i>x</b>y</i>")
     assert len(d.errors) >= 1
     assert "<b><i>x</i></b><i>y</i>" in d.html()
+
+
+def test_link_pseudo_class_is_link_quirk():
+    """selectors 0.22 routes :link/:any-link through Element::is_link();
+    reference element.rs:134-142 returns true iff local name == "link".
+    So <link> matches, <a href> does NOT, and :visited never matches."""
+    from nipper_ray.api import Document
+
+    d = Document('<html><head><link rel="stylesheet" href="a.css">'
+                 '<link rel="icon"></head>'
+                 '<body><a href="/x">anchor</a>'
+                 '<area href="/y"><div>t</div></body></html>')
+    links = d.select(":any-link")
+    assert links.length() == 2
+    t = d.tree
+    assert all(t.nodes[n].name == "link" for n in links.nodes())
+    # :link behaves identically (all links are "unvisited" by default)
+    assert d.select(":link").length() == 2
+    # anchors/areas with href are NOT links under the reference quirk
+    assert d.select("a:any-link").length() == 0
+    assert d.select("area:link").length() == 0
+    # :visited never matches, not even <link>
+    assert d.select(":visited").length() == 0
+    assert d.select("link:visited").length() == 0
+    # compound usage: attribute filter composes
+    assert d.select(':any-link[rel="icon"]').length() == 1
+
+
+def test_try_select_any_link_asymmetry():
+    """try_select(":any-link") is now a VALID selector: returns a
+    Selection when it matches and None only when empty (the reference's
+    try_select None-on-empty semantics), instead of raising."""
+    from nipper_ray.api import Document
+
+    d = Document("<html><head><link href=a></head><body></body></html>")
+    sel = d.try_select(":any-link")
+    assert sel is not None and sel.length() == 1
+    assert d.try_select(":visited") is None  # matches nothing -> None
+    no_link = Document("<html><body><a href=x>t</a></body></html>")
+    assert no_link.try_select(":any-link") is None

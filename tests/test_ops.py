@@ -669,3 +669,119 @@ def test_pagerank_integer_properties(ray_session):
     r2 = pagerank(edges, n, iters=4).to_pandas()
     assert sorted(zip(r.doc_id, r.rank_u)) == sorted(zip(r2.doc_id,
                                                          r2.rank_u))
+
+
+def test_routed_map_groups_null_keys(ray_session):
+    """Null group keys are KEPT (Ray groupby semantics): routing hashes
+    null to a sentinel and the in-partition groupby runs dropna=False."""
+    import pandas as pd
+    import ray.data as rd
+
+    from nipper_ray.ops.grouping import routed_map_groups
+
+    t = pa.table({
+        "k": pa.array(["a", None, "b", None, "a", ""], pa.string()),
+        "v": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+    })
+
+    def summarize(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "k": [g["k"].iloc[0]],
+            "n": [len(g)],
+            "sum_v": [int(g["v"].sum())],
+        })
+
+    got = routed_map_groups(rd.from_arrow(t), ["k"], summarize,
+                            n_parts=4).to_pandas()
+    got = got.sort_values("sum_v", ignore_index=True)
+    # null group present, distinct from the "" group
+    by_k = {(None if pd.isna(r.k) else r.k): (r.n, r.sum_v)
+            for r in got.itertuples()}
+    assert by_k[None] == (2, 6)
+    assert by_k["a"] == (2, 6)
+    assert by_k[""] == (1, 6)
+    assert by_k["b"] == (1, 3)
+
+
+def test_routed_map_groups_salted_skew(ray_session):
+    """2000-rows-one-key skew: the salted two-phase top-2 equals the
+    unsalted (and plain groupby) result exactly."""
+    import pandas as pd
+    import ray.data as rd
+
+    from nipper_ray.ops.grouping import routed_map_groups
+
+    n = 2000
+    t = pa.table({
+        "k": pa.array(["hot"] * n + ["cold1", "cold2"]),
+        "id": pa.array(list(range(n + 2)), pa.int64()),
+        "v": pa.array([(i * 37) % 1009 for i in range(n + 2)],
+                      pa.int64()),
+    })
+
+    def top2(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["v", "id"], ascending=[False, True],
+                          kind="mergesort")
+        out = g.head(2).copy()
+        out["rank"] = range(1, len(out) + 1)
+        return out
+
+    want = routed_map_groups(rd.from_arrow(t), ["k"], top2,
+                             n_parts=8).to_pandas()
+    got = routed_map_groups(rd.from_arrow(t), ["k"], top2,
+                            n_parts=8, salt=("id", 16)).to_pandas()
+    key = lambda df: df.sort_values(["k", "rank"], ignore_index=True)
+    pd.testing.assert_frame_equal(key(want), key(got))
+    assert len(got) == 4  # 2 for the hot key + 1 each for the colds
+
+
+def test_session_windows_salted_equivalence(ray_session):
+    """q_session_windows with NIPPER_RAY_SALT=1 (time-bucket salt +
+    session-stitching combine) returns exactly the unsalted result,
+    including sessions spanning the day-bucket boundary."""
+    import os
+
+    import pandas as pd
+
+    import __ray_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    base = entry.queries()["session_windows"](sf).to_pandas()
+    os.environ["NIPPER_RAY_SALT"] = "1"
+    try:
+        salted = entry.queries()["session_windows"](sf).to_pandas()
+        topn_salted = entry.queries()["top_events_per_user"](sf).to_pandas()
+    finally:
+        del os.environ["NIPPER_RAY_SALT"]
+    topn_base = entry.queries()["top_events_per_user"](sf).to_pandas()
+
+    key = lambda df: df.sort_values(list(df.columns), ignore_index=True)
+    pd.testing.assert_frame_equal(key(base), key(salted))
+    pd.testing.assert_frame_equal(key(topn_base), key(topn_salted))
+
+
+def test_emb_bands_stage_empty_batch():
+    """Empty pyarrow blocks reach map_batches stages after upstream
+    filters; _emb_bands_stage must return the typed empty table rather
+    than raising on the (0,0) @ (L*b, dim) matmul."""
+    from nipper_ray.ops.dedup import (_EMB_BANDS, _EMB_PLANES,
+                                      _emb_band_planes, _emb_bands_stage)
+
+    dim = 8
+    planes = _emb_band_planes(dim, _EMB_BANDS, _EMB_PLANES)
+    empty = pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float32())),
+    })
+    out = _emb_bands_stage(empty, "vec_id", planes,
+                           _EMB_BANDS, _EMB_PLANES, 64)
+    assert len(out) == 0
+    assert out.column_names == ["pkey", "bucket", "vec_id", "embedding"]
+    # and a non-empty batch still works after the guard
+    one = pa.table({
+        "vec_id": pa.array([7], pa.int64()),
+        "embedding": pa.array([[1.0] * dim], pa.list_(pa.float32())),
+    })
+    out2 = _emb_bands_stage(one, "vec_id", planes,
+                            _EMB_BANDS, _EMB_PLANES, 64)
+    assert len(out2) == _EMB_BANDS

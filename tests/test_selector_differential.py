@@ -58,16 +58,26 @@ def _expand(tree, candidates, comb):
                     stack.append(c)
                     c = nodes[c].next
     elif comb == "+":
+        # Right side of + may be a NON-element (universal/:empty match
+        # non-elements; the production matcher walks prev_element_sibling
+        # from the matched node).  Candidates on the right are exactly the
+        # nodes whose prev_element_sibling == nid: every non-element
+        # sibling up to and including the next element sibling.
         for nid in candidates:
-            s = tree.next_element_sibling(nid)
-            if s != -1:
-                out.add(s)
-    elif comb == "~":
-        for nid in candidates:
-            s = tree.next_element_sibling(nid)
+            s = nodes[nid].next
             while s != -1:
                 out.add(s)
-                s = tree.next_element_sibling(s)
+                if nodes[s].kind == ELEMENT:
+                    break
+                s = nodes[s].next
+    elif comb == "~":
+        # Any following sibling (element or not) has nid somewhere in its
+        # prev-element-sibling chain, since nid itself is an element.
+        for nid in candidates:
+            s = nodes[nid].next
+            while s != -1:
+                out.add(s)
+                s = nodes[s].next
     return out
 
 
@@ -87,7 +97,7 @@ def setwise_select(tree, selector: str):
 
 
 # -- random generators ------------------------------------------------------
-TAGS = ["div", "p", "span", "a", "b", "ul", "li", "em"]
+TAGS = ["div", "p", "span", "a", "b", "ul", "li", "em", "link"]
 CLASSES = ["x", "y", "z", "row"]
 
 
@@ -137,7 +147,8 @@ def random_selector(rng):
                 parts.append(rng.choice(
                     [":first-child", ":last-child", ":nth-child(2)",
                      ":nth-child(odd)", ":only-child", ":empty",
-                     ":not(.x)", ":first-of-type", ":nth-of-type(2)"]))
+                     ":not(.x)", ":first-of-type", ":nth-of-type(2)",
+                     ":any-link", ":link", ":visited"]))
         return "".join(parts)
 
     sel = compound()
