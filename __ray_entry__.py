@@ -26,6 +26,66 @@ _FIXTURES = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 STOPWORDS_SQL = "('the','a','an','and','or','of','to','in','is','are'," \
     "'was','were','be','been','it','this','that')"
 
+# The synthetic documents vocabulary is a CLOSED 31-word set (verified
+# at every shipped scale factor), so xxh64(word) — not SQL-expressible
+# as a function — can ship as an embedded lookup VALUES table, making
+# the simhash family exactly SQL-derivable.  A future corpus word
+# missing from this list fails LOUDLY (the join drops it, so the
+# simhash votes diverge and the value hash mismatches).
+_DOC_VOCAB = (
+    "a agg batch big column customer data dup fast filter group hash "
+    "join key line merge order part query row scan slow small sort "
+    "spark stream table the value vector window").split()
+
+
+def _simhash_oracle_sql() -> str:
+    """Exact SQL re-derivation of ops/dedup.simhash64_batch: per-word
+    xxh64 via the embedded vocabulary table, per-bit +1/-1 vote,
+    bit set iff the vote sum is positive; tokenless docs hash to 0."""
+    from nipper_ray.frontier.hashing import xxh64_str
+
+    rows = ", ".join("('%s', CAST(%d AS UBIGINT))" % (w, xxh64_str(w))
+                     for w in _DOC_VOCAB)
+    # CAST(1 AS UBIGINT) << 63 overflows in DuckDB (shift is signed),
+    # so the per-bit weights are precomputed literals
+    bit_sum = " + ".join(
+        "(CASE WHEN sum(CASE WHEN (h >> %d) & 1 = 1 THEN 1 ELSE -1 END)"
+        " > 0 THEN CAST(%d AS UBIGINT) ELSE CAST(0 AS UBIGINT) END)"
+        % (b, 1 << b) for b in range(64))
+    return f"""
+        WITH w AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(translate(text,
+                     'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                     'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_]+')) AS w
+          FROM documents),
+        hv AS (SELECT * FROM (VALUES {rows}) t(w, h)),
+        votes AS (
+          SELECT doc_id, {bit_sum} AS simhash
+          FROM w JOIN hv USING (w)
+          GROUP BY doc_id)
+        SELECT d.doc_id, COALESCE(v.simhash, CAST(0 AS UBIGINT)) AS simhash
+        FROM documents d LEFT JOIN votes v USING (doc_id)
+        ORDER BY doc_id
+    """
+
+
+def _simhash_neardup_oracle_sql() -> str:
+    """Pairs at hamming <= 3 over the SQL-derived simhashes; the
+    engine's 4x16-bit banding has recall 1 for hamming < 4 (pigeonhole)
+    and exact in-bucket verification, and excludes simhash==0 docs
+    (the degenerate-bucket rule), so this all-pairs join is its exact
+    oracle."""
+    return f"""
+        WITH s AS ({_simhash_oracle_sql()})
+        SELECT s1.doc_id AS a, s2.doc_id AS b
+        FROM s s1 JOIN s s2 ON s1.doc_id < s2.doc_id
+        WHERE s1.simhash <> 0 AND s2.simhash <> 0
+          AND bit_count(xor(s1.simhash, s2.simhash)) <= 3
+        ORDER BY a, b
+    """
+
+
 # exact word-3-gram Jaccard join over documents — the minhash_neardup
 # oracle, also reused as the pair source of the dedup_clusters oracle
 _MINHASH_PAIRS_SQL = """
@@ -1378,6 +1438,8 @@ def q_dedup_clusters(sf_dir: str):
 
 
 def q_simhash(sf_dir: str):
+    """Per-doc 64-bit simhash (xxh64 word votes).  Exact SQL oracle via
+    the embedded closed-vocabulary hash table (_simhash_oracle_sql)."""
     from nipper_ray.ops.dedup import simhash_stage
 
     rd = _rd()
@@ -1389,8 +1451,9 @@ def q_simhash(sf_dir: str):
 
 def q_simhash_neardup(sf_dir: str):
     """SimHash near-dup pairs (hamming <= 3 via 16-bit banding +
-    per-bucket verification; xxh64-based simhash is not SQL-expressible
-    -> rows-only)."""
+    per-bucket verification).  Banding recall is 1 for hamming < 4
+    (pigeonhole) and verification is exact, so the all-pairs SQL join
+    over the SQL-derived simhashes is an exact oracle."""
     from nipper_ray.ops.dedup import simhash_neardup
 
     rd = _rd()
@@ -1997,7 +2060,11 @@ def oracle_sql() -> dict[str, str]:
         "extract": _extract_oracle_sql(),
         "crawl_wave": _crawl_wave_oracle_sql(),
         "readability": _readability_oracle_sql(),
-        # langid / simhash / ann_lsh / media_features: intentionally no
+        # simhash family: exact oracles via the embedded closed-vocab
+        # xxh64 lookup table (see _DOC_VOCAB)
+        "simhash": _simhash_oracle_sql(),
+        "simhash_neardup": _simhash_neardup_oracle_sql(),
+        # langid / ann_lsh / ann_ivf / media_features: intentionally no
         # oracle (heuristic / approximate / non-SQL) -> driver records
         # rows-only checks.
     }

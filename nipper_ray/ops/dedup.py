@@ -495,9 +495,15 @@ def simhash_neardup(corpus_ds, max_hamming: int = 3, n_bands: int = 4,
     cand = bands.groupby("pkey").map_groups(
         lambda g: simhash_pairs_from_partition(g, max_hamming),
         batch_format="pandas")
-    return (cand.groupby(["a", "b"])
-            .aggregate(Count(alias_name="_nb"))
-            .select_columns(["a", "b"]))
+    out = (cand.groupby(["a", "b"])
+           .aggregate(Count(alias_name="_nb"))
+           .select_columns(["a", "b"]))
+    # the pandas-block groupby promotes int keys to float64 when empty
+    # partition frames are in the mix — cast back to the id dtype
+    return out.map_batches(
+        lambda t: pa.table({"a": pc.cast(t.column("a"), pa.int64()),
+                            "b": pc.cast(t.column("b"), pa.int64())}),
+        batch_format="pyarrow")
 
 
 # -- embedding near-dup ------------------------------------------------------
