@@ -1638,6 +1638,11 @@ def q_crawl_wave(sf_dir: str):
 
 
 def q_media_features(sf_dir: str):
+    """REAL media decode path: documents -> genuine BMP/WAV/Y4M payloads
+    (from-scratch public-format codecs, ops/codecs.py) -> actor-pool
+    decode + integer-space features.  The payload content is a pure
+    function of `documents`, so the decoded features are exactly
+    SQL-derivable (byte values of the text, cycled)."""
     from nipper_ray.ops.multimodal import (MediaFeatureStage,
                                            media_table_from_documents)
 
@@ -1648,7 +1653,8 @@ def q_media_features(sf_dir: str):
                            batch_format="pyarrow")
     out = media.map_batches(MediaFeatureStage, batch_format="pyarrow",
                             batch_size=64, concurrency=2)
-    return out.select_columns(["media_id", "kind", "n_bytes", "feat_mean"])
+    return out.select_columns(["media_id", "kind", "n_bytes",
+                               "feat_mean_ppm", "feat_std_ppm"])
 
 
 # ---------------------------------------------------------------------------
@@ -2064,7 +2070,52 @@ def oracle_sql() -> dict[str, str]:
         # xxh64 lookup table (see _DOC_VOCAB)
         "simhash": _simhash_oracle_sql(),
         "simhash_neardup": _simhash_neardup_oracle_sql(),
-        # langid / ann_lsh / ann_ivf / media_features: intentionally no
-        # oracle (heuristic / approximate / non-SQL) -> driver records
-        # rows-only checks.
+        # media_features: the synthesized BMP/WAV/Y4M payloads encode
+        # the document's UTF-8 bytes cycled (ops/multimodal.py), so the
+        # real-decode features re-derive from text in SQL: per-kind
+        # value lists (image: 8x8 pixels; audio: (b-128)*256 PCM;
+        # video: 4 shifted 8x8 luma frames), integer-ppm mean (floor
+        # division, exact) and ppm std (floor of the identical IEEE
+        # double both engines compute from exact integer sums).  The
+        # engine's image stats run over the 3x-replicated RGB multiset,
+        # equal to the 64-value stats (same mean; var numerators/
+        # denominators scale by 9, and A/4096 is exactly representable
+        # so both divisions return the identical double).  n_bytes are
+        # the fixed container sizes (54+192 BMP, 44+128 WAV, 39-byte
+        # Y4M header + 4x(6+64+32)).
+        "media_features": """
+            WITH v AS (
+              SELECT doc_id,
+                CASE doc_id % 3 WHEN 0 THEN 'image'
+                                WHEN 1 THEN 'audio'
+                                ELSE 'video' END AS kind,
+                CASE doc_id % 3
+                  WHEN 0 THEN list_transform(range(0, 64), i ->
+                      ascii(substr(text, CAST(i % length(text) AS INT)
+                                         + 1, 1)))
+                  WHEN 1 THEN list_transform(range(0, 64), i ->
+                      (ascii(substr(text, CAST(i % length(text) AS INT)
+                                          + 1, 1)) - 128) * 256)
+                  ELSE list_transform(range(0, 256), i ->
+                      ascii(substr(text,
+                          CAST(((i % 64) + 7 * (i // 64))
+                               % length(text) AS INT) + 1, 1)))
+                END AS vals
+              FROM documents),
+            s AS (SELECT doc_id, kind, len(vals) AS n,
+                         list_sum(vals) AS s1,
+                         list_sum(list_transform(vals, x -> x * x)) AS s2
+                  FROM v)
+            SELECT doc_id AS media_id, kind,
+                   CASE kind WHEN 'image' THEN 246
+                             WHEN 'audio' THEN 172
+                             ELSE 447 END AS n_bytes,
+                   CAST((s1 * 1000000) // n AS BIGINT) AS feat_mean_ppm,
+                   CAST(floor(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+                                   / (n * n)) * 1000000) AS BIGINT)
+                       AS feat_std_ppm
+            FROM s ORDER BY media_id
+        """,
+        # langid / ann_lsh / ann_ivf: intentionally no oracle
+        # (heuristic / approximate) -> driver records rows-only checks.
     }

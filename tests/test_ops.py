@@ -95,13 +95,91 @@ def test_media_plumbing():
     assert frames.column("media_id").to_pylist() == [2, 2]
 
 
-def test_media_codec_stub_raises():
+def test_media_codec_boundary_raises_on_unsupported_format():
+    """The codec boundary is real for BMP/WAV/Y4M; formats without a
+    from-scratch decoder (e.g. PNG) still raise."""
     import pytest
 
-    docs = pa.table({"doc_id": [0], "text": ["xx"]})
-    media = media_table_from_documents(docs)
+    media = pa.table({
+        "media_id": pa.array([0], pa.int64()),
+        "kind": pa.array(["image"], pa.string()),
+        "payload": pa.array([b"\x89PNG\r\n\x1a\n....."], pa.binary()),
+        "mime": pa.array(["image/png"], pa.string()),
+        "n_bytes": pa.array([13], pa.int64()),
+    })
     with pytest.raises(NotImplementedError):
         MediaFeatureStage(fake=False)(media)
+
+
+def test_media_real_decode_roundtrip():
+    """Real path: synthesized payloads are genuine BMP/WAV/Y4M that the
+    from-scratch parsers decode back to the exact source byte streams,
+    and the integer-ppm features match a direct computation."""
+    import math
+
+    from nipper_ray.ops.codecs import decode_bmp, decode_wav, decode_y4m
+
+    docs = pa.table({"doc_id": [0, 1, 2],
+                     "text": ["hello world", "abc def g", "tuv wx yz"]})
+    media = media_table_from_documents(docs)
+    pay = media.column("payload").to_pylist()
+    b0 = np.frombuffer(b"hello world", dtype=np.uint8)
+    img = decode_bmp(pay[0])
+    assert img.shape == (8, 8, 3)
+    assert (img[:, :, 0].ravel() == b0[np.arange(64) % len(b0)]).all()
+    assert (img[:, :, 0] == img[:, :, 2]).all()  # grey
+    b1 = np.frombuffer(b"abc def g", dtype=np.uint8)
+    samples, rate = decode_wav(pay[1])
+    assert rate == 8000
+    want = (b1[np.arange(64) % len(b1)].astype(np.int16) - 128) * 256
+    assert (samples == want).all()
+    b2 = np.frombuffer(b"tuv wx yz", dtype=np.uint8)
+    frames, w, h = decode_y4m(pay[2])
+    assert (w, h, len(frames)) == (8, 8, 4)
+    for f in range(4):
+        want = b2[(np.arange(64) + 7 * f) % len(b2)].reshape(8, 8)
+        assert (frames[f] == want).all()
+
+    feats = MediaFeatureStage(fake=False)(media)
+    v = b0[np.arange(64) % len(b0)].astype(np.int64)
+    s1, s2, n = int(v.sum()), int((v * v).sum()), len(v)
+    assert feats.column("feat_mean_ppm")[0].as_py() == (s1 * 10**6) // n
+    assert feats.column("feat_std_ppm")[0].as_py() == int(math.floor(
+        math.sqrt((n * s2 - s1 * s1) / (n * n)) * 10**6))
+
+
+def test_codec_roundtrips_random():
+    from nipper_ray.ops.codecs import (decode_bmp, decode_wav, decode_y4m,
+                                       encode_bmp, encode_wav, encode_y4m)
+
+    rng = np.random.RandomState(11)
+    for hw in [(8, 8), (5, 3), (1, 1), (6, 10)]:
+        img = rng.randint(0, 256, (*hw, 3), dtype=np.uint8)
+        assert (decode_bmp(encode_bmp(img)) == img).all(), hw
+    s = rng.randint(-32768, 32768, 200).astype(np.int16)
+    d, rate = decode_wav(encode_wav(s, 16000))
+    assert rate == 16000 and (d == s).all()
+    frames = [rng.randint(0, 256, (4, 6), dtype=np.uint8)
+              for _ in range(3)]
+    df, w, h = decode_y4m(encode_y4m(frames, 6, 4))
+    assert (w, h) == (6, 4)
+    assert all((a == b).all() for a, b in zip(df, frames))
+
+
+def test_frame_sample_real_path():
+    docs = pa.table({"doc_id": [2], "text": ["some video text here"]})
+    media = media_table_from_documents(docs)
+    out = FrameSampleStage(n_frames=2, fake=False)(media)
+    assert out.column("media_id").to_pylist() == [2, 2]
+    assert out.column("frame_idx").to_pylist() == [0, 1]
+    # evenly spaced: frames 0 and 2 of the 4 encoded
+    from nipper_ray.ops.codecs import decode_y4m
+
+    frames, _, _ = decode_y4m(media.column("payload")[0].as_py())
+    assert out.column("frame_feat")[0].as_py() == \
+        frames[0].ravel()[:8].astype(np.float32).tolist()
+    assert out.column("frame_feat")[1].as_py() == \
+        frames[2].ravel()[:8].astype(np.float32).tolist()
 
 
 def test_readability_wisburg():
