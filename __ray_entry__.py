@@ -906,11 +906,13 @@ def q_hourly_windows(sf_dir: str):
 
 
 def q_props_stats(sf_dir: str):
-    """Semi-structured column op: parse the JSON ``props`` payload,
-    extract a field, pre-aggregate per batch, tiny final groupby.
-    (stdlib json per row inside the batch — at 100 TB swap in a C JSON
-    parser behind the same stage boundary; the Ray plumbing — batch
-    parse, partial agg, narrow shuffle — is the scale shape.)"""
+    """Semi-structured column op: extract a field from the JSON
+    ``props`` payload, pre-aggregate per batch, tiny final groupby.
+    The hot path is a vectorized RE2 scan (pc.extract_regex) for the
+    integer ``k`` field; rows the regex can't see (nested/typed JSON)
+    fall back to stdlib json per row — at the shipped corpora that
+    fallback never fires, and at 100 TB a C JSON parser swaps in
+    behind the same stage boundary."""
     import json
 
     from ray.data.aggregate import Max, Min, Sum
@@ -920,10 +922,21 @@ def q_props_stats(sf_dir: str):
                          columns=["event_type", "props"])
 
     def partial(t: pa.Table) -> pa.Table:
-        ks = [json.loads(p or "{}").get("k") for p in
-              t.column("props").to_pylist()]
+        props = t.column("props")
+        ext = pc.extract_regex(props, r'"k"\s*:\s*(?P<k>-?\d+)')
+        ks = pc.cast(pc.struct_field(ext, "k"), pa.int64())
+        # exactness fallback: any non-null props row the regex missed
+        # (e.g. float/string-valued k) goes through the JSON parser
+        miss = pc.and_(pc.is_null(ks), pc.is_valid(props))
+        if pc.any(miss).as_py():
+            idx = np.nonzero(miss.to_numpy(zero_copy_only=False))[0]
+            vals = ks.to_pylist()
+            plist = props.to_pylist()
+            for i in idx:
+                vals[i] = json.loads(plist[i] or "{}").get("k")
+            ks = pa.array(vals, pa.int64())
         tt = pa.table({"event_type": t.column("event_type"),
-                       "k": pa.array(ks, pa.int64())})
+                       "k": ks})
         g = tt.group_by(["event_type"]).aggregate(
             [("k", "sum"), ("k", "min"), ("k", "max"), ("k", "count")])
         return g.rename_columns(["event_type", "sum_k", "min_k",

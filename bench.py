@@ -136,7 +136,7 @@ def bench_frontier_dedup(n_urls: int) -> tuple:
         seen.shutdown()
 
 
-def bench_crawl() -> tuple:
+def bench_crawl(waves: int = 2) -> tuple:
     import shutil
 
     from nipper_ray.frontier.scheduler import run_crawl
@@ -147,13 +147,13 @@ def bench_crawl() -> tuple:
     seeds = [page_url(i) for i in range(0, 200, 2)]
     t0 = time.perf_counter()
     metrics = run_crawl(
-        SF_DIR, out, seeds, waves=2, num_shards=8,
+        SF_DIR, out, seeds, waves=waves, num_shards=8,
         per_host_budget=400, wave_budget=3000,
         extract_concurrency=max(2, NUM_CPUS // 2),
         pool_size=max(2, NUM_CPUS // 8), actor_cpus=1.0,
         fixtures_dir=os.path.join(REPO, "tests", "fixtures"))
     dt = time.perf_counter() - t0
-    pages = sum(m["pages_fetched"] for m in metrics)
+    pages = [m["pages_fetched"] for m in metrics]
     phases = [m["phase_sec"] for m in metrics]
     return dt, pages, phases
 
@@ -219,16 +219,30 @@ def main():
     rates["dedup_urls_per_sec"] = round(n_urls / dt, 1)
     rates["dedup_unique_kept"] = kept
 
-    dt, crawled, phases = bench_crawl()
-    queries["crawl_2waves"] = round(dt, 3)
+    # 4 waves: wave 0 pays first-execution warmup; waves 1-3 are the
+    # steady state whose pages/s projects to long crawls (the round-3
+    # 2-wave line was warmup-dominated and weather-sensitive)
+    dt, per_wave_pages, phases = bench_crawl(waves=4)
+    queries["crawl_4waves"] = round(dt, 3)
+    # phase-accounted 2-wave equivalent for round-over-round continuity
+    # with the old crawl_2waves line (phases sum to ~99% of its wall)
+    queries["crawl_2waves"] = round(
+        sum(sum(p.values()) for p in phases[:2]), 3)
+    crawled = sum(per_wave_pages)
     rates["crawl_pages_per_sec"] = round(crawled / dt, 1)
+    warm_pages = sum(per_wave_pages[1:])
+    warm_sec = sum(sum(p.values()) for p in phases[1:])
+    rates["crawl_warm_pages_per_sec"] = round(warm_pages / warm_sec, 1)
     # per-wave phase split: shows the wall is fixed-overhead-bound at
     # this scale (see BASELINE.md round-3 attribution)
     rates["crawl_wave_phases"] = phases
 
     # headline value = the 3 crawl pipelines (comparable across rounds);
-    # the ops section below is timed separately in `queries`
-    headline = round(sum(queries.values()), 3)
+    # crawl_2waves is phase-DERIVED from the 4-wave run (not an extra
+    # run), so it is excluded from the sum; the ops section below is
+    # timed separately in `queries`
+    headline = round(queries["extract"] + queries["frontier_dedup"]
+                     + queries["crawl_4waves"], 3)
     bench_ops(queries, rates)
 
     ray.shutdown()
