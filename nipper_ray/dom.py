@@ -70,6 +70,22 @@ class Node:
         self.mathml_aip = False
 
 
+def _node_from_state(ints, name, ns, attrs, data, data2, aip):
+    """Unpickle helper for C fast-lane nodes (html/_fastlane.c
+    CNode.__reduce__): reconstructs a plain Python Node so unpickling
+    never requires the compiled extension."""
+    n = Node(ints[0], ints[1])
+    (_, _, n.parent, n.first_child, n.last_child, n.prev, n.next,
+     n.template_contents) = ints
+    n.name = name
+    n.ns = ns
+    n.attrs = attrs
+    n.data = data
+    n.data2 = data2
+    n.mathml_aip = aip
+    return n
+
+
 class Tree:
     """Arena tree; root is always id 0 (a DOCUMENT node)."""
 

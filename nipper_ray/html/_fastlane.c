@@ -1,0 +1,2314 @@
+/* Whole-document C fast lane: integrated byte-space tokenizer (the
+ * _scan.c macro-tokenizer core, inlined) + a subset of the WHATWG
+ * insertion-mode machine (treebuilder.py is the reference), building
+ * the arena DOM natively as CNode objects (attribute-compatible with
+ * dom.Node).
+ *
+ * Contract: for any input, parse() either returns an arena list that is
+ * node-for-node IDENTICAL (ids, kinds, names, attrs, linkage, text) to
+ * what TreeBuilder().parse() produces, or returns None and the caller
+ * falls back to the pure-Python machine.  The subset is the ERROR-FREE
+ * common path: any construct that would record a parse error, plus
+ * tables / templates / select / frameset / foreign content / foster
+ * parenting / the full adoption agency, aborts.  Differential tests
+ * (tests/test_fastlane_differential.py) pin the equivalence.
+ *
+ * Reference for observable semantics: /root/reference/src/document.rs
+ * (TreeSink impl) and tests/html-dom.rs goldens, via treebuilder.py.
+ */
+#define _GNU_SOURCE
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+#include <structmember.h>
+#include <stddef.h>
+#include <stdint.h>
+#include <string.h>
+
+/* ---------------- node kinds (mirror dom.py) ---------------- */
+#define K_DOCUMENT 0
+#define K_DOCTYPE 1
+#define K_TEXT 2
+#define K_COMMENT 3
+#define K_ELEMENT 4
+
+/* ---------------- modes (mirror treebuilder.py) ---------------- */
+#define M_INITIAL 0
+#define M_BEFORE_HTML 1
+#define M_BEFORE_HEAD 2
+#define M_IN_HEAD 3
+#define M_AFTER_HEAD 4
+#define M_IN_BODY 5
+#define M_TEXT 6
+#define M_AFTER_BODY 17
+#define M_AFTER_AFTER_BODY 20
+
+/* ---------------- name table ---------------- */
+#define F_SP 0x0001u      /* SPECIAL_HTML */
+#define F_FMT 0x0002u     /* FORMATTING */
+#define F_HD 0x0004u      /* heading */
+#define F_BC 0x0008u      /* BLOCK_CLOSERS */
+#define F_IH 0x0010u      /* IN_HEAD_START */
+#define F_IMP 0x0020u     /* IMPLIED_END */
+#define F_ABS 0x0040u     /* abort on start tag */
+#define F_IGB 0x0080u     /* ignored start tag in body */
+#define F_LSC 0x0100u     /* ol/ul: list-item scope boundary */
+#define F_ADP 0x0200u     /* address/div/p (li/dd/dt walk exception) */
+
+enum {
+    T_OTHER = 0, T_HTML, T_HEAD, T_BODY, T_P, T_A, T_NOBR, T_BUTTON,
+    T_FORM, T_LI, T_DD, T_DT, T_PRELIST, T_HR, T_IMAGE, T_VOIDB, T_BR,
+    T_INPUT, T_PST, T_TEXTAREA, T_XMP, T_IFRAME, T_NOEMBED, T_NOSCRIPT,
+    T_SCRIPT, T_STYLE, T_NOFRAMES, T_TITLE, T_HEADVOID, T_OPTION,
+    T_OPTGROUP, T_RB, T_RTC, T_RPRT, T_RUBY, T_APPLETG, T_TEMPLATE,
+    T_FMTG,
+};
+
+typedef struct { const char *name; uint8_t len; uint8_t tok; uint16_t flags; } NameEnt;
+
+/* alphabetically sorted for bsearch */
+static const NameEnt NAMES[] = {
+    {"a", 1, T_A, F_FMT},
+    {"address", 7, T_OTHER, F_SP | F_BC | F_ADP},
+    {"applet", 6, T_APPLETG, F_SP | F_ABS},
+    {"area", 4, T_VOIDB, F_SP},
+    {"article", 7, T_OTHER, F_SP | F_BC},
+    {"aside", 5, T_OTHER, F_SP | F_BC},
+    {"b", 1, T_FMTG, F_FMT},
+    {"base", 4, T_HEADVOID, F_SP | F_IH},
+    {"basefont", 8, T_HEADVOID, F_SP | F_IH},
+    {"bgsound", 7, T_HEADVOID, F_SP | F_IH},
+    {"big", 3, T_FMTG, F_FMT},
+    {"blockquote", 10, T_OTHER, F_SP | F_BC},
+    {"body", 4, T_BODY, F_SP},
+    {"br", 2, T_BR, F_SP},
+    {"button", 6, T_BUTTON, F_SP},
+    {"caption", 7, T_OTHER, F_SP | F_IGB},
+    {"center", 6, T_OTHER, F_SP | F_BC},
+    {"code", 4, T_FMTG, F_FMT},
+    {"col", 3, T_OTHER, F_SP | F_IGB},
+    {"colgroup", 8, T_OTHER, F_SP | F_IGB},
+    {"dd", 2, T_DD, F_SP | F_IMP},
+    {"details", 7, T_OTHER, F_SP | F_BC},
+    {"dialog", 6, T_OTHER, F_BC},
+    {"dir", 3, T_OTHER, F_SP | F_BC},
+    {"div", 3, T_OTHER, F_SP | F_BC | F_ADP},
+    {"dl", 2, T_OTHER, F_SP | F_BC},
+    {"dt", 2, T_DT, F_SP | F_IMP},
+    {"em", 2, T_FMTG, F_FMT},
+    {"embed", 5, T_VOIDB, F_SP},
+    {"fieldset", 8, T_OTHER, F_SP | F_BC},
+    {"figcaption", 10, T_OTHER, F_SP | F_BC},
+    {"figure", 6, T_OTHER, F_SP | F_BC},
+    {"font", 4, T_FMTG, F_FMT},
+    {"footer", 6, T_OTHER, F_SP | F_BC},
+    {"form", 4, T_FORM, F_SP},
+    {"frame", 5, T_OTHER, F_SP | F_IGB},
+    {"frameset", 8, T_OTHER, F_SP | F_ABS},
+    {"h1", 2, T_OTHER, F_SP | F_HD},
+    {"h2", 2, T_OTHER, F_SP | F_HD},
+    {"h3", 2, T_OTHER, F_SP | F_HD},
+    {"h4", 2, T_OTHER, F_SP | F_HD},
+    {"h5", 2, T_OTHER, F_SP | F_HD},
+    {"h6", 2, T_OTHER, F_SP | F_HD},
+    {"head", 4, T_HEAD, F_SP | F_IGB},
+    {"header", 6, T_OTHER, F_SP | F_BC},
+    {"hgroup", 6, T_OTHER, F_SP | F_BC},
+    {"hr", 2, T_HR, F_SP},
+    {"html", 4, T_HTML, F_SP},
+    {"i", 1, T_FMTG, F_FMT},
+    {"iframe", 6, T_IFRAME, F_SP},
+    {"image", 5, T_IMAGE, 0},
+    {"img", 3, T_VOIDB, F_SP},
+    {"input", 5, T_INPUT, F_SP},
+    {"keygen", 6, T_VOIDB, F_SP},
+    {"li", 2, T_LI, F_SP | F_IMP},
+    {"link", 4, T_HEADVOID, F_SP | F_IH},
+    {"listing", 7, T_PRELIST, F_SP},
+    {"main", 4, T_OTHER, F_SP | F_BC},
+    {"marquee", 7, T_APPLETG, F_SP | F_ABS},
+    {"math", 4, T_OTHER, F_ABS},
+    {"menu", 4, T_OTHER, F_SP | F_BC},
+    {"meta", 4, T_HEADVOID, F_SP | F_IH},
+    {"nav", 3, T_OTHER, F_SP | F_BC},
+    {"nobr", 4, T_NOBR, F_FMT},
+    {"noembed", 7, T_NOEMBED, F_SP},
+    {"noframes", 8, T_NOFRAMES, F_SP | F_IH},
+    {"noscript", 8, T_NOSCRIPT, F_SP},
+    {"object", 6, T_APPLETG, F_SP | F_ABS},
+    {"ol", 2, T_OTHER, F_SP | F_BC | F_LSC},
+    {"optgroup", 8, T_OPTGROUP, F_IMP},
+    {"option", 6, T_OPTION, F_IMP},
+    {"p", 1, T_P, F_SP | F_BC | F_IMP | F_ADP},
+    {"param", 5, T_PST, F_SP},
+    {"plaintext", 9, T_OTHER, F_SP | F_ABS},
+    {"pre", 3, T_PRELIST, F_SP},
+    {"rb", 2, T_RB, F_IMP},
+    {"rp", 2, T_RPRT, F_IMP},
+    {"rt", 2, T_RPRT, F_IMP},
+    {"rtc", 3, T_RTC, F_IMP},
+    {"ruby", 4, T_RUBY, 0},
+    {"s", 1, T_FMTG, F_FMT},
+    {"script", 6, T_SCRIPT, F_SP | F_IH},
+    {"section", 7, T_OTHER, F_SP | F_BC},
+    {"select", 6, T_OTHER, F_SP | F_ABS},
+    {"small", 5, T_FMTG, F_FMT},
+    {"source", 6, T_PST, F_SP},
+    {"strike", 6, T_FMTG, F_FMT},
+    {"strong", 6, T_FMTG, F_FMT},
+    {"style", 5, T_STYLE, F_SP | F_IH},
+    {"summary", 7, T_OTHER, F_SP | F_BC},
+    {"svg", 3, T_OTHER, F_ABS},
+    {"table", 5, T_OTHER, F_SP | F_ABS},
+    {"tbody", 5, T_OTHER, F_SP | F_IGB},
+    {"td", 2, T_OTHER, F_SP | F_IGB},
+    {"template", 8, T_TEMPLATE, F_SP | F_IH | F_ABS},
+    {"textarea", 8, T_TEXTAREA, F_SP},
+    {"tfoot", 5, T_OTHER, F_SP | F_IGB},
+    {"th", 2, T_OTHER, F_SP | F_IGB},
+    {"thead", 5, T_OTHER, F_SP | F_IGB},
+    {"title", 5, T_TITLE, F_SP | F_IH},
+    {"tr", 2, T_OTHER, F_SP | F_IGB},
+    {"track", 5, T_PST, F_SP},
+    {"tt", 2, T_FMTG, F_FMT},
+    {"u", 1, T_FMTG, F_FMT},
+    {"ul", 2, T_OTHER, F_SP | F_BC | F_LSC},
+    {"wbr", 3, T_VOIDB, F_SP},
+    {"xmp", 3, T_XMP, F_SP},
+};
+#define N_NAMES ((int)(sizeof(NAMES) / sizeof(NAMES[0])))
+
+static const NameEnt *name_lookup(const uint8_t *s, Py_ssize_t len)
+{
+    int lo = 0, hi = N_NAMES - 1;
+    if (len > 10)
+        return NULL;
+    while (lo <= hi) {
+        int mid = (lo + hi) / 2;
+        const NameEnt *e = &NAMES[mid];
+        Py_ssize_t cl = len < e->len ? len : e->len;
+        int c = memcmp(s, e->name, cl);
+        if (c == 0)
+            c = (int)(len - e->len);
+        if (c == 0)
+            return e;
+        if (c < 0)
+            hi = mid - 1;
+        else
+            lo = mid + 1;
+    }
+    return NULL;
+}
+
+/* ---------------- CNode type ---------------- */
+typedef struct {
+    PyObject_HEAD
+    int32_t id, kind, parent, first_child, last_child, prev, next, tc;
+    PyObject *name, *ns, *attrs, *data, *data2, *aip;
+} CNode;
+
+static void cnode_dealloc(PyObject *self)
+{
+    CNode *n = (CNode *)self;
+    Py_XDECREF(n->name);
+    Py_XDECREF(n->ns);
+    Py_XDECREF(n->attrs);
+    Py_XDECREF(n->data);
+    Py_XDECREF(n->data2);
+    Py_XDECREF(n->aip);
+    Py_TYPE(self)->tp_free(self);
+}
+
+static PyMemberDef cnode_members[] = {
+    {"id", T_INT, offsetof(CNode, id), 0, NULL},
+    {"kind", T_INT, offsetof(CNode, kind), 0, NULL},
+    {"parent", T_INT, offsetof(CNode, parent), 0, NULL},
+    {"first_child", T_INT, offsetof(CNode, first_child), 0, NULL},
+    {"last_child", T_INT, offsetof(CNode, last_child), 0, NULL},
+    {"prev", T_INT, offsetof(CNode, prev), 0, NULL},
+    {"next", T_INT, offsetof(CNode, next), 0, NULL},
+    {"template_contents", T_INT, offsetof(CNode, tc), 0, NULL},
+    {"name", T_OBJECT, offsetof(CNode, name), 0, NULL},
+    {"ns", T_OBJECT, offsetof(CNode, ns), 0, NULL},
+    {"attrs", T_OBJECT, offsetof(CNode, attrs), 0, NULL},
+    {"data", T_OBJECT, offsetof(CNode, data), 0, NULL},
+    {"data2", T_OBJECT, offsetof(CNode, data2), 0, NULL},
+    {"mathml_aip", T_OBJECT, offsetof(CNode, aip), 0, NULL},
+    {NULL, 0, 0, 0, NULL},
+};
+
+static PyObject *g_node_from_state = NULL;  /* dom._node_from_state */
+
+static PyObject *cnode_reduce(PyObject *self, PyObject *noarg)
+{
+    CNode *n = (CNode *)self;
+    (void)noarg;
+    if (g_node_from_state == NULL) {
+        PyErr_SetString(PyExc_RuntimeError, "fastlane not set up");
+        return NULL;
+    }
+    return Py_BuildValue(
+        "O((iiiiiiii)OOOOOO)", g_node_from_state,
+        n->id, n->kind, n->parent, n->first_child, n->last_child,
+        n->prev, n->next, n->tc,
+        n->name ? n->name : Py_None, n->ns ? n->ns : Py_None,
+        n->attrs ? n->attrs : Py_None, n->data ? n->data : Py_None,
+        n->data2 ? n->data2 : Py_None, n->aip ? n->aip : Py_False);
+}
+
+static PyMethodDef cnode_methods[] = {
+    {"__reduce__", cnode_reduce, METH_NOARGS, NULL},
+    {NULL, NULL, 0, NULL},
+};
+
+static PyTypeObject CNodeType = {
+    PyVarObject_HEAD_INIT(NULL, 0)
+    .tp_name = "nr_fastlane.CNode",
+    .tp_basicsize = sizeof(CNode),
+    .tp_dealloc = cnode_dealloc,
+    .tp_flags = Py_TPFLAGS_DEFAULT,
+    .tp_members = cnode_members,
+    .tp_methods = cnode_methods,
+    .tp_doc = "arena DOM node built by the C fast lane "
+              "(attribute-compatible with dom.Node)",
+};
+
+/* ---------------- interned-name cache ---------------- */
+#define NCACHE_SLOTS 4096  /* power of two */
+typedef struct { uint8_t *key; uint32_t len; PyObject *str; } NCEnt;
+static NCEnt g_ncache[NCACHE_SLOTS];
+static int g_ncache_count = 0;
+
+static PyObject *intern_name(const uint8_t *s, Py_ssize_t len)
+{
+    uint32_t h = 2166136261u;
+    Py_ssize_t i;
+    uint32_t slot;
+    for (i = 0; i < len; i++)
+        h = (h ^ s[i]) * 16777619u;
+    slot = h & (NCACHE_SLOTS - 1);
+    while (g_ncache[slot].key != NULL) {
+        if (g_ncache[slot].len == (uint32_t)len
+            && memcmp(g_ncache[slot].key, s, len) == 0)
+            return g_ncache[slot].str;
+        slot = (slot + 1) & (NCACHE_SLOTS - 1);
+    }
+    if (g_ncache_count >= NCACHE_SLOTS - NCACHE_SLOTS / 4)
+        return NULL;  /* cache saturated: caller aborts to Python */
+    {
+        PyObject *str = PyUnicode_DecodeUTF8((const char *)s, len,
+                                             "surrogatepass");
+        if (str == NULL)
+            return NULL;
+        PyUnicode_InternInPlace(&str);
+        g_ncache[slot].key = (uint8_t *)PyMem_Malloc(len ? len : 1);
+        if (g_ncache[slot].key == NULL) {
+            Py_DECREF(str);
+            return NULL;
+        }
+        memcpy(g_ncache[slot].key, s, len);
+        g_ncache[slot].len = (uint32_t)len;
+        g_ncache[slot].str = str;  /* cache owns one ref, forever */
+        g_ncache_count++;
+        return str;
+    }
+}
+
+/* ---------------- parser state ---------------- */
+typedef struct { int32_t id; int32_t tok; uint16_t flags; } OpenEnt;
+typedef struct { int32_t el; int32_t tok; PyObject *name; PyObject *attrs; } AfeEnt;
+
+typedef struct {
+    const uint8_t *b;
+    Py_ssize_t n;
+
+    PyObject **nodes;
+    int n_nodes, cap_nodes;
+
+    OpenEnt *open;
+    int n_open, cap_open;
+
+    AfeEnt *afe;
+    int n_afe, cap_afe;
+
+    int mode, original_mode;
+    int head_id, form_id;
+    int ignore_lf;
+    int done;
+
+    int raw_kind;              /* 0 none, 1 rcdata, 2 rawtext, 3 script */
+    const NameEnt *raw_ne;     /* raw element entry (close-tag search) */
+
+    /* pending text run */
+    PyObject *pend;            /* list of str chunks, or NULL */
+    int pend_parent;
+    int pend_merge;            /* existing TEXT node id to merge into, or -1 */
+
+    int aborted;
+} P;
+
+/* shared singletons, set in setup() */
+static PyObject *g_html_ns = NULL;
+static PyObject *g_decode = NULL;          /* entities.decode_charrefs */
+static PyObject *g_lt_str = NULL;          /* "<" */
+static PyObject *g_empty_str = NULL;       /* "" */
+static PyObject *NM_html, *NM_head, *NM_body, *NM_p, *NM_img, *NM_rtc;
+
+#define ABORT(p) do { (p)->aborted = 1; return -1; } while (0)
+#define CHECK(x) do { if ((x) < 0) return -1; } while (0)
+
+/* ---------------- arena ops ---------------- */
+static int arena_push(P *p, PyObject *node)
+{
+    if (p->n_nodes == p->cap_nodes) {
+        int nc = p->cap_nodes ? p->cap_nodes * 2 : 64;
+        PyObject **nn = PyMem_Realloc(p->nodes, nc * sizeof(PyObject *));
+        if (nn == NULL)
+            return -1;
+        p->nodes = nn;
+        p->cap_nodes = nc;
+    }
+    p->nodes[p->n_nodes++] = node;
+    return 0;
+}
+
+static CNode *new_node(P *p, int kind)
+{
+    CNode *n = PyObject_New(CNode, &CNodeType);
+    if (n == NULL)
+        return NULL;
+    n->id = p->n_nodes;
+    n->kind = kind;
+    n->parent = n->first_child = n->last_child = n->prev = n->next = -1;
+    n->tc = -1;
+    n->name = NULL;
+    n->ns = NULL;
+    n->attrs = NULL;
+    n->data = NULL;
+    n->data2 = NULL;
+    Py_INCREF(Py_False);
+    n->aip = Py_False;
+    if (arena_push(p, (PyObject *)n) < 0) {
+        Py_DECREF(n);
+        return NULL;
+    }
+    return n;
+}
+
+#define NODE(p, i) ((CNode *)(p)->nodes[i])
+
+static void link_append(P *p, int parent_id, int child_id)
+{
+    CNode *parent = NODE(p, parent_id);
+    CNode *child = NODE(p, child_id);
+    int last = parent->last_child;
+    if (last == -1)
+        parent->first_child = child_id;
+    else {
+        NODE(p, last)->next = child_id;
+        child->prev = last;
+    }
+    parent->last_child = child_id;
+    child->parent = parent_id;
+    child->next = -1;
+}
+
+/* ---------------- open stack / afe ---------------- */
+static int open_push(P *p, int id, int tok, uint16_t flags)
+{
+    if (p->n_open == p->cap_open) {
+        int nc = p->cap_open ? p->cap_open * 2 : 32;
+        OpenEnt *no = PyMem_Realloc(p->open, nc * sizeof(OpenEnt));
+        if (no == NULL)
+            return -1;
+        p->open = no;
+        p->cap_open = nc;
+    }
+    p->open[p->n_open].id = id;
+    p->open[p->n_open].tok = tok;
+    p->open[p->n_open].flags = flags;
+    p->n_open++;
+    return 0;
+}
+
+static int on_open_stack(P *p, int el)
+{
+    int i;
+    for (i = p->n_open - 1; i >= 0; i--)
+        if (p->open[i].id == el)
+            return 1;
+    return 0;
+}
+
+static int afe_push_raw(P *p, int el, int tok, PyObject *name, PyObject *attrs)
+{
+    if (p->n_afe == p->cap_afe) {
+        int nc = p->cap_afe ? p->cap_afe * 2 : 16;
+        AfeEnt *na = PyMem_Realloc(p->afe, nc * sizeof(AfeEnt));
+        if (na == NULL)
+            return -1;
+        p->afe = na;
+        p->cap_afe = nc;
+    }
+    p->afe[p->n_afe].el = el;
+    p->afe[p->n_afe].tok = tok;
+    Py_INCREF(name);
+    p->afe[p->n_afe].name = name;
+    Py_INCREF(attrs);
+    p->afe[p->n_afe].attrs = attrs;
+    p->n_afe++;
+    return 0;
+}
+
+static void afe_remove_at(P *p, int i)
+{
+    Py_DECREF(p->afe[i].name);
+    Py_DECREF(p->afe[i].attrs);
+    memmove(&p->afe[i], &p->afe[i + 1],
+            (p->n_afe - i - 1) * sizeof(AfeEnt));
+    p->n_afe--;
+}
+
+/* multiset equality of two attrs lists (names unique per list) */
+static int attrs_equal(PyObject *a, PyObject *b)
+{
+    Py_ssize_t la = PyList_GET_SIZE(a), lb = PyList_GET_SIZE(b), i, j;
+    if (la != lb)
+        return 0;
+    for (i = 0; i < la; i++) {
+        PyObject *ia = PyList_GET_ITEM(a, i);
+        PyObject *na = PyList_GET_ITEM(ia, 1);
+        PyObject *va = PyList_GET_ITEM(ia, 2);
+        int found = 0;
+        for (j = 0; j < lb; j++) {
+            PyObject *ib = PyList_GET_ITEM(b, j);
+            if (PyList_GET_ITEM(ib, 1) == na) {   /* interned names */
+                if (PyUnicode_Compare(va, PyList_GET_ITEM(ib, 2)) != 0)
+                    return 0;
+                found = 1;
+                break;
+            }
+        }
+        if (!found)
+            return 0;
+    }
+    return 1;
+}
+
+/* Noah's Ark (treebuilder._afe_push): at most 3 identical entries */
+static int afe_push_noah(P *p, int el, int tok, PyObject *name, PyObject *attrs)
+{
+    int count = 0, i;
+    for (i = p->n_afe - 1; i >= 0; i--) {
+        if (p->afe[i].name == name && attrs_equal(p->afe[i].attrs, attrs)) {
+            count++;
+            if (count == 3) {
+                afe_remove_at(p, i);
+                break;
+            }
+        }
+    }
+    return afe_push_raw(p, el, tok, name, attrs);
+}
+
+/* ---------------- pending text ---------------- */
+static int flush_text(P *p)
+{
+    PyObject *s;
+    Py_ssize_t len;
+    if (p->pend == NULL)
+        return 0;
+    len = PyList_GET_SIZE(p->pend);
+    if (len == 1) {
+        s = PyList_GET_ITEM(p->pend, 0);
+        Py_INCREF(s);
+    } else {
+        s = PyUnicode_Join(g_empty_str, p->pend);
+        if (s == NULL)
+            return -1;
+    }
+    Py_CLEAR(p->pend);
+    if (p->pend_merge != -1) {
+        CNode *t = NODE(p, p->pend_merge);
+        PyObject *joined = PyUnicode_Concat(t->data, s);
+        Py_DECREF(s);
+        if (joined == NULL)
+            return -1;
+        Py_SETREF(t->data, joined);
+    } else {
+        CNode *t = new_node(p, K_TEXT);
+        if (t == NULL) {
+            Py_DECREF(s);
+            return -1;
+        }
+        t->data = s;
+        link_append(p, p->pend_parent, t->id);
+    }
+    return 0;
+}
+
+/* queue text for insertion-append under parent (current top's target) */
+static int pend_text(P *p, int parent, PyObject *s)
+{
+    if (p->pend != NULL && p->pend_parent != parent)
+        CHECK(flush_text(p));
+    if (p->pend == NULL) {
+        CNode *par = NODE(p, parent);
+        p->pend = PyList_New(0);
+        if (p->pend == NULL)
+            return -1;
+        p->pend_parent = parent;
+        p->pend_merge = -1;
+        if (par->last_child != -1
+            && NODE(p, par->last_child)->kind == K_TEXT)
+            p->pend_merge = par->last_child;
+    }
+    return PyList_Append(p->pend, s);
+}
+
+/* ---------------- element insertion ---------------- */
+static int cur_top(P *p) { return p->open[p->n_open - 1].id; }
+
+/* insert + (optionally) push.  Steals nothing; attrs ref borrowed
+ * (INCREF'd into the node). */
+static int insert_element(P *p, PyObject *name, PyObject *attrs,
+                          int tok, uint16_t flags, int push)
+{
+    CNode *el;
+    CHECK(flush_text(p));
+    el = new_node(p, K_ELEMENT);
+    if (el == NULL)
+        return -1;
+    Py_INCREF(name);
+    el->name = name;
+    Py_INCREF(g_html_ns);
+    el->ns = g_html_ns;
+    Py_INCREF(attrs);
+    el->attrs = attrs;
+    link_append(p, cur_top(p), el->id);
+    if (push)
+        CHECK(open_push(p, el->id, tok, flags));
+    return el->id;
+}
+
+/* treebuilder._reconstruct_afe */
+static int reconstruct_afe(P *p)
+{
+    int i, j;
+    if (p->n_afe == 0)
+        return 0;
+    if (on_open_stack(p, p->afe[p->n_afe - 1].el))
+        return 0;
+    i = p->n_afe - 1;
+    while (i >= 0) {
+        if (on_open_stack(p, p->afe[i].el)) {
+            i += 1;
+            break;
+        }
+        i -= 1;
+    }
+    if (i < 0)
+        i = 0;
+    for (j = i; j < p->n_afe; j++) {
+        AfeEnt *e = &p->afe[j];
+        /* fresh outer+inner lists sharing name/value strings (mirrors
+         * [list(a) for a in attrs]) */
+        PyObject *attrs = PyList_New(PyList_GET_SIZE(e->attrs));
+        Py_ssize_t k;
+        int nid;
+        if (attrs == NULL)
+            return -1;
+        for (k = 0; k < PyList_GET_SIZE(e->attrs); k++) {
+            PyObject *src = PyList_GET_ITEM(e->attrs, k);
+            PyObject *inner = PyList_New(3);
+            Py_ssize_t m;
+            if (inner == NULL) {
+                Py_DECREF(attrs);
+                return -1;
+            }
+            for (m = 0; m < 3; m++) {
+                PyObject *it = PyList_GET_ITEM(src, m);
+                Py_INCREF(it);
+                PyList_SET_ITEM(inner, m, it);
+            }
+            PyList_SET_ITEM(attrs, k, inner);
+        }
+        nid = insert_element(p, e->name, attrs, e->tok,
+                            (e->tok == T_A || e->tok == T_NOBR
+                             || e->tok == T_FMTG) ? F_FMT : 0, 1);
+        Py_DECREF(attrs);
+        if (nid < 0)
+            return -1;
+        e->el = nid;
+    }
+    return 0;
+}
+
+/* ---------------- scope checks ----------------
+ * In the fast-lane subset no DEFAULT_SCOPE element other than <html>
+ * can be on the stack (table/template/caption/applet/marquee/object
+ * and all foreign elements abort at their start tag), so scope
+ * boundaries reduce to: html (default), +button (button scope),
+ * +ol/ul (list-item scope). */
+static int in_scope_tok(P *p, int tok, int button, int list)
+{
+    int i;
+    for (i = p->n_open - 1; i >= 0; i--) {
+        OpenEnt *e = &p->open[i];
+        if (e->tok == tok)
+            return 1;
+        if (e->tok == T_HTML)
+            return 0;
+        if (button && e->tok == T_BUTTON)
+            return 0;
+        if (list && (e->flags & F_LSC))
+            return 0;
+    }
+    return 0;
+}
+
+static int in_scope_flag(P *p, uint16_t flag)
+{
+    int i;
+    for (i = p->n_open - 1; i >= 0; i--) {
+        OpenEnt *e = &p->open[i];
+        if (e->flags & flag)
+            return 1;
+        if (e->tok == T_HTML)
+            return 0;
+    }
+    return 0;
+}
+
+static int el_in_scope(P *p, int el)
+{
+    int i;
+    for (i = p->n_open - 1; i >= 0; i--) {
+        if (p->open[i].id == el)
+            return 1;
+        if (p->open[i].tok == T_HTML)
+            return 0;
+    }
+    return 0;
+}
+
+/* generate implied end tags; except_name NULL or an interned name */
+static void generate_implied(P *p, PyObject *except_name)
+{
+    while (p->n_open > 0) {
+        OpenEnt *e = &p->open[p->n_open - 1];
+        if ((e->flags & F_IMP)
+            && NODE(p, e->id)->name != except_name)
+            p->n_open--;
+        else
+            break;
+    }
+}
+
+static void pop_until_tok(P *p, int tok)
+{
+    while (p->n_open > 0) {
+        int t = p->open[--p->n_open].tok;
+        if (t == tok)
+            return;
+    }
+}
+
+static void pop_until_name(P *p, PyObject *name)
+{
+    while (p->n_open > 0) {
+        int id = p->open[--p->n_open].id;
+        if (NODE(p, id)->name == name)
+            return;
+    }
+}
+
+static void pop_until_flag(P *p, uint16_t flag)
+{
+    while (p->n_open > 0) {
+        uint16_t f = p->open[--p->n_open].flags;
+        if (f & flag)
+            return;
+    }
+}
+
+static void close_p(P *p)
+{
+    if (in_scope_tok(p, T_P, 1, 0)) {
+        generate_implied(p, NM_p);
+        pop_until_tok(p, T_P);
+    }
+}
+
+/* treebuilder._add_attrs_if_missing */
+static int add_attrs_if_missing(P *p, int nid, PyObject *attrs)
+{
+    CNode *node = NODE(p, nid);
+    Py_ssize_t i, j;
+    for (i = 0; i < PyList_GET_SIZE(attrs); i++) {
+        PyObject *a = PyList_GET_ITEM(attrs, i);
+        PyObject *an = PyList_GET_ITEM(a, 1);
+        int have = 0;
+        for (j = 0; j < PyList_GET_SIZE(node->attrs); j++) {
+            PyObject *b = PyList_GET_ITEM(node->attrs, j);
+            if (PyList_GET_ITEM(b, 1) == an) {
+                have = 1;
+                break;
+            }
+        }
+        if (!have && PyList_Append(node->attrs, a) < 0)
+            return -1;
+    }
+    return 0;
+}
+
+/* ---------------- forward decls ---------------- */
+static int handle_start(P *p, const NameEnt *ne, PyObject *name,
+                        PyObject *attrs, int self_closing);
+static int handle_end(P *p, const NameEnt *ne, PyObject *name);
+static int handle_chars(P *p, PyObject *s);
+static int in_scope_name(P *p, PyObject *name);
+
+/* synthesize html/head/body (treebuilder._anything_else_to_body) */
+static int synth_to_body(P *p)
+{
+    if (p->mode == M_INITIAL)
+        p->mode = M_BEFORE_HTML;
+    if (p->mode == M_BEFORE_HTML) {
+        CNode *root;
+        CHECK(flush_text(p));
+        root = new_node(p, K_ELEMENT);
+        if (root == NULL)
+            return -1;
+        Py_INCREF(NM_html);
+        root->name = NM_html;
+        Py_INCREF(g_html_ns);
+        root->ns = g_html_ns;
+        root->attrs = PyList_New(0);
+        if (root->attrs == NULL)
+            return -1;
+        link_append(p, 0, root->id);
+        CHECK(open_push(p, root->id, T_HTML, F_SP));
+        p->mode = M_BEFORE_HEAD;
+    }
+    if (p->mode == M_BEFORE_HEAD) {
+        PyObject *attrs = PyList_New(0);
+        int hid;
+        if (attrs == NULL)
+            return -1;
+        hid = insert_element(p, NM_head, attrs, T_HEAD, F_SP | F_IGB, 1);
+        Py_DECREF(attrs);
+        CHECK(hid);
+        p->head_id = hid;
+        p->mode = M_IN_HEAD;
+    }
+    if (p->mode == M_IN_HEAD) {
+        p->n_open--;
+        p->mode = M_AFTER_HEAD;
+    }
+    if (p->mode == M_AFTER_HEAD) {
+        PyObject *attrs = PyList_New(0);
+        int bid;
+        if (attrs == NULL)
+            return -1;
+        bid = insert_element(p, NM_body, attrs, T_BODY, F_SP, 1);
+        Py_DECREF(attrs);
+        CHECK(bid);
+        p->mode = M_IN_BODY;
+    }
+    return 0;
+}
+
+/* treebuilder._anything_else_to_body_until for a start tag */
+static int synth_until_start(P *p, int tok)
+{
+    if (p->mode == M_INITIAL)
+        p->mode = M_BEFORE_HTML;
+    if (p->mode == M_BEFORE_HTML) {
+        CNode *root;
+        if (tok == T_HTML)
+            return 0;
+        CHECK(flush_text(p));
+        root = new_node(p, K_ELEMENT);
+        if (root == NULL)
+            return -1;
+        Py_INCREF(NM_html);
+        root->name = NM_html;
+        Py_INCREF(g_html_ns);
+        root->ns = g_html_ns;
+        root->attrs = PyList_New(0);
+        if (root->attrs == NULL)
+            return -1;
+        link_append(p, 0, root->id);
+        CHECK(open_push(p, root->id, T_HTML, F_SP));
+        p->mode = M_BEFORE_HEAD;
+    }
+    if (p->mode == M_BEFORE_HEAD) {
+        PyObject *attrs;
+        int hid;
+        if (tok == T_HTML || tok == T_HEAD)
+            return 0;
+        attrs = PyList_New(0);
+        if (attrs == NULL)
+            return -1;
+        hid = insert_element(p, NM_head, attrs, T_HEAD, F_SP | F_IGB, 1);
+        Py_DECREF(attrs);
+        CHECK(hid);
+        p->head_id = hid;
+        p->mode = M_IN_HEAD;
+    }
+    return 0;
+}
+
+/* ---------------- in-head start (returns 1 handled, 0 not) ---------- */
+static int generic_raw(P *p, PyObject *name, PyObject *attrs,
+                       const NameEnt *ne, int kind)
+{
+    CHECK(insert_element(p, name, attrs, ne->tok, ne->flags, 1));
+    p->raw_kind = kind;
+    p->raw_ne = ne;
+    p->original_mode = p->mode;
+    p->mode = M_TEXT;
+    return 0;
+}
+
+static int in_body_start(P *p, const NameEnt *ne, PyObject *name,
+                         PyObject *attrs, int self_closing);
+
+static int start_in_head(P *p, const NameEnt *ne, PyObject *name,
+                         PyObject *attrs, int self_closing, int *handled)
+{
+    *handled = 1;
+    switch (ne ? ne->tok : T_OTHER) {
+    case T_HTML:
+        return in_body_start(p, ne, name, attrs, self_closing);
+    case T_HEADVOID:
+        CHECK(insert_element(p, name, attrs, ne->tok, ne->flags, 1));
+        p->n_open--;
+        return 0;
+    case T_TITLE:
+        return generic_raw(p, name, attrs, ne, 1);
+    case T_NOFRAMES:
+    case T_STYLE:
+    case T_NOSCRIPT:
+        return generic_raw(p, name, attrs, ne, 2);
+    case T_SCRIPT:
+        return generic_raw(p, name, attrs, ne, 3);
+    case T_TEMPLATE:
+        ABORT(p);
+    case T_HEAD:
+        return 0;  /* parse error per spec; Python ignores, no error */
+    default:
+        *handled = 0;
+        return 0;
+    }
+}
+
+/* ---------------- in-body start ---------------- */
+static int in_body_start(P *p, const NameEnt *ne, PyObject *name,
+                         PyObject *attrs, int self_closing)
+{
+    int tok = ne ? ne->tok : T_OTHER;
+    uint16_t flags = ne ? ne->flags : 0;
+    int handled;
+
+    if (flags & F_ABS)
+        ABORT(p);
+
+    switch (tok) {
+    case T_HTML:
+        /* template never on stack in subset */
+        return add_attrs_if_missing(p, p->open[0].id, attrs);
+    case T_BODY:
+        if (p->n_open > 1 && p->open[1].tok == T_BODY)
+            return add_attrs_if_missing(p, p->open[1].id, attrs);
+        return 0;
+    case T_FORM:
+        if (p->form_id != -1)
+            return 0;
+        close_p(p);
+        {
+            int fid = insert_element(p, name, attrs, tok, flags, 1);
+            CHECK(fid);
+            p->form_id = fid;
+        }
+        return 0;
+    case T_LI: {
+        int i;
+        for (i = p->n_open - 1; i >= 0; i--) {
+            OpenEnt *e = &p->open[i];
+            if (e->tok == T_LI) {
+                generate_implied(p, NODE(p, e->id)->name);
+                pop_until_tok(p, T_LI);
+                break;
+            }
+            if ((e->flags & F_SP) && !(e->flags & F_ADP))
+                break;
+        }
+        close_p(p);
+        CHECK(insert_element(p, name, attrs, tok, flags, 1));
+        return 0;
+    }
+    case T_DD:
+    case T_DT: {
+        int i;
+        for (i = p->n_open - 1; i >= 0; i--) {
+            OpenEnt *e = &p->open[i];
+            if (e->tok == T_DD || e->tok == T_DT) {
+                generate_implied(p, NODE(p, e->id)->name);
+                pop_until_tok(p, e->tok);
+                break;
+            }
+            if ((e->flags & F_SP) && !(e->flags & F_ADP))
+                break;
+        }
+        close_p(p);
+        CHECK(insert_element(p, name, attrs, tok, flags, 1));
+        return 0;
+    }
+    case T_BUTTON:
+        if (in_scope_tok(p, T_BUTTON, 0, 0)) {
+            generate_implied(p, NULL);
+            pop_until_tok(p, T_BUTTON);
+        }
+        CHECK(reconstruct_afe(p));
+        CHECK(insert_element(p, name, attrs, tok, flags, 1));
+        return 0;
+    case T_A: {
+        int i;
+        for (i = p->n_afe - 1; i >= 0; i--)
+            if (p->afe[i].tok == T_A)
+                ABORT(p);  /* misnested <a>: Python runs the agency */
+        CHECK(reconstruct_afe(p));
+        {
+            int el = insert_element(p, name, attrs, tok, flags, 1);
+            CHECK(el);
+            return afe_push_noah(p, el, tok, name, attrs);
+        }
+    }
+    case T_FMTG: {
+        int el;
+        CHECK(reconstruct_afe(p));
+        el = insert_element(p, name, attrs, tok, flags, 1);
+        CHECK(el);
+        return afe_push_noah(p, el, tok, name, attrs);
+    }
+    case T_NOBR: {
+        int el;
+        CHECK(reconstruct_afe(p));
+        if (in_scope_tok(p, T_NOBR, 0, 0))
+            ABORT(p);
+        el = insert_element(p, name, attrs, tok, flags, 1);
+        CHECK(el);
+        return afe_push_noah(p, el, tok, name, attrs);
+    }
+    case T_VOIDB:
+    case T_BR:
+        CHECK(reconstruct_afe(p));
+        CHECK(insert_element(p, name, attrs, tok, flags, 1));
+        p->n_open--;
+        return 0;
+    case T_INPUT:
+        CHECK(reconstruct_afe(p));
+        CHECK(insert_element(p, name, attrs, tok, flags, 1));
+        p->n_open--;
+        return 0;
+    case T_PST:
+        CHECK(insert_element(p, name, attrs, tok, flags, 1));
+        p->n_open--;
+        return 0;
+    case T_HR:
+        close_p(p);
+        CHECK(insert_element(p, name, attrs, tok, flags, 1));
+        p->n_open--;
+        return 0;
+    case T_IMAGE: {
+        const NameEnt *img = name_lookup((const uint8_t *)"img", 3);
+        return in_body_start(p, img, NM_img, attrs, self_closing);
+    }
+    case T_PRELIST:
+        close_p(p);
+        CHECK(insert_element(p, name, attrs, tok, flags, 1));
+        p->ignore_lf = 1;
+        return 0;
+    case T_TEXTAREA:
+        CHECK(insert_element(p, name, attrs, tok, flags, 1));
+        p->ignore_lf = 1;
+        p->raw_kind = 1;
+        p->raw_ne = ne;
+        p->original_mode = p->mode;
+        p->mode = M_TEXT;
+        return 0;
+    case T_XMP:
+        close_p(p);
+        CHECK(reconstruct_afe(p));
+        return generic_raw(p, name, attrs, ne, 2);
+    case T_IFRAME:
+        return generic_raw(p, name, attrs, ne, 2);
+    case T_NOEMBED:
+    case T_NOSCRIPT:
+        return generic_raw(p, name, attrs, ne, 2);
+    case T_OPTION:
+    case T_OPTGROUP:
+        if (p->open[p->n_open - 1].tok == T_OPTION)
+            p->n_open--;
+        CHECK(reconstruct_afe(p));
+        CHECK(insert_element(p, name, attrs, tok, flags, 1));
+        return 0;
+    case T_RB:
+    case T_RTC:
+        if (in_scope_tok(p, T_RUBY, 0, 0))
+            generate_implied(p, NULL);
+        CHECK(insert_element(p, name, attrs, tok, flags, 1));
+        return 0;
+    case T_RPRT:
+        if (in_scope_tok(p, T_RUBY, 0, 0))
+            generate_implied(p, NM_rtc);
+        CHECK(insert_element(p, name, attrs, tok, flags, 1));
+        return 0;
+    default:
+        break;
+    }
+    if (flags & F_IH) {
+        CHECK(start_in_head(p, ne, name, attrs, self_closing, &handled));
+        return 0;
+    }
+    if (flags & F_BC) {
+        close_p(p);
+        CHECK(insert_element(p, name, attrs, tok, flags, 1));
+        return 0;
+    }
+    if (flags & F_HD) {
+        close_p(p);
+        if (p->open[p->n_open - 1].flags & F_HD)
+            p->n_open--;
+        CHECK(insert_element(p, name, attrs, tok, flags, 1));
+        return 0;
+    }
+    if (flags & F_IGB)
+        return 0;
+    CHECK(reconstruct_afe(p));
+    CHECK(insert_element(p, name, attrs, tok, flags, 1));
+    return 0;
+}
+
+/* ---------------- start dispatch ---------------- */
+static int handle_start(P *p, const NameEnt *ne, PyObject *name,
+                        PyObject *attrs, int self_closing)
+{
+    int tok = ne ? ne->tok : T_OTHER;
+    int handled;
+
+    p->ignore_lf = 0;
+    if (p->done)
+        return 0;
+
+    switch (p->mode) {
+    case M_INITIAL:
+    case M_BEFORE_HTML:
+    case M_BEFORE_HEAD:
+        if (tok == T_HTML && p->mode != M_INITIAL) {
+            if (p->mode == M_BEFORE_HTML) {
+                CNode *root;
+                CHECK(flush_text(p));
+                root = new_node(p, K_ELEMENT);
+                if (root == NULL)
+                    return -1;
+                Py_INCREF(name);
+                root->name = name;
+                Py_INCREF(g_html_ns);
+                root->ns = g_html_ns;
+                Py_INCREF(attrs);
+                root->attrs = attrs;
+                link_append(p, 0, root->id);
+                CHECK(open_push(p, root->id, T_HTML, F_SP));
+                p->mode = M_BEFORE_HEAD;
+                return 0;
+            }
+            return add_attrs_if_missing(p, p->open[0].id, attrs);
+        }
+        if (p->mode == M_BEFORE_HEAD && tok == T_HEAD) {
+            int hid = insert_element(p, name, attrs, T_HEAD,
+                                     F_SP | F_IGB, 1);
+            CHECK(hid);
+            p->head_id = hid;
+            p->mode = M_IN_HEAD;
+            return 0;
+        }
+        CHECK(synth_until_start(p, tok));
+        return handle_start(p, ne, name, attrs, self_closing);
+    case M_IN_HEAD:
+        CHECK(start_in_head(p, ne, name, attrs, self_closing, &handled));
+        if (handled)
+            return 0;
+        p->n_open--;
+        p->mode = M_AFTER_HEAD;
+        return handle_start(p, ne, name, attrs, self_closing);
+    case M_AFTER_HEAD:
+        if (tok == T_HTML)
+            return in_body_start(p, ne, name, attrs, self_closing);
+        if (tok == T_BODY) {
+            CHECK(insert_element(p, name, attrs, T_BODY, F_SP, 1));
+            p->mode = M_IN_BODY;
+            return 0;
+        }
+        if (ne && (ne->flags & F_ABS))
+            ABORT(p);
+        if (ne && (ne->flags & F_IH)) {
+            /* parse error: re-enter head (treebuilder.py:975-981) */
+            int i;
+            CHECK(open_push(p, p->head_id, T_HEAD, F_SP | F_IGB));
+            CHECK(start_in_head(p, ne, name, attrs, self_closing,
+                                &handled));
+            for (i = p->n_open - 1; i >= 0; i--)
+                if (p->open[i].id == p->head_id) {
+                    memmove(&p->open[i], &p->open[i + 1],
+                            (p->n_open - i - 1) * sizeof(OpenEnt));
+                    p->n_open--;
+                    break;
+                }
+            return 0;
+        }
+        if (tok == T_HEAD)
+            return 0;
+        {
+            PyObject *battrs = PyList_New(0);
+            int bid;
+            if (battrs == NULL)
+                return -1;
+            bid = insert_element(p, NM_body, battrs, T_BODY, F_SP, 1);
+            Py_DECREF(battrs);
+            CHECK(bid);
+        }
+        p->mode = M_IN_BODY;
+        return handle_start(p, ne, name, attrs, self_closing);
+    case M_IN_BODY:
+        return in_body_start(p, ne, name, attrs, self_closing);
+    case M_AFTER_BODY:
+    case M_AFTER_AFTER_BODY:
+        if (tok == T_HTML)
+            return in_body_start(p, ne, name, attrs, self_closing);
+        p->mode = M_IN_BODY;
+        return handle_start(p, ne, name, attrs, self_closing);
+    default:
+        ABORT(p);
+    }
+}
+
+/* ---------------- end tags ---------------- */
+/* treebuilder._any_other_end_tag; special hit => parse error => abort */
+static int any_other_end(P *p, PyObject *name)
+{
+    int i;
+    for (i = p->n_open - 1; i >= 0; i--) {
+        OpenEnt *e = &p->open[i];
+        if (NODE(p, e->id)->name == name) {
+            generate_implied(p, name);
+            p->n_open = i;
+            return 0;
+        }
+        if (e->flags & F_SP)
+            ABORT(p);
+    }
+    return 0;
+}
+
+/* the well-formed fast path of treebuilder._adoption_agency; anything
+ * deeper is a parse error => abort */
+static int adoption_fast(P *p, int tok, PyObject *name)
+{
+    OpenEnt *cur = &p->open[p->n_open - 1];
+    (void)tok;
+    if (NODE(p, cur->id)->name == name) {
+        int cur_id = cur->id, i, entry = -1, any_cur = 0;
+        for (i = p->n_afe - 1; i >= 0; i--) {
+            if (entry == -1 && p->afe[i].name == name)
+                entry = i;
+            if (p->afe[i].el == cur_id)
+                any_cur = 1;
+        }
+        if (entry == -1 || !any_cur) {
+            p->n_open--;
+            return 0;
+        }
+        if (p->afe[entry].el == cur_id) {
+            p->n_open--;
+            afe_remove_at(p, entry);
+            return 0;
+        }
+    }
+    ABORT(p);
+}
+
+static int in_body_end(P *p, const NameEnt *ne, PyObject *name)
+{
+    int tok = ne ? ne->tok : T_OTHER;
+    uint16_t flags = ne ? ne->flags : 0;
+
+    switch (tok) {
+    case T_TEMPLATE:
+        return 0;  /* no template on stack in subset: noop */
+    case T_BODY:
+        if (in_scope_tok(p, T_BODY, 0, 0))
+            p->mode = M_AFTER_BODY;
+        return 0;
+    case T_HTML:
+        if (in_scope_tok(p, T_BODY, 0, 0)) {
+            p->mode = M_AFTER_BODY;
+            return handle_end(p, ne, name);
+        }
+        return 0;
+    case T_BUTTON:
+    case T_PRELIST:
+        /* name match, not tok match: T_PRELIST covers pre AND listing */
+        if (in_scope_name(p, name)) {
+            generate_implied(p, NULL);
+            pop_until_name(p, name);
+        }
+        return 0;
+    case T_FORM: {
+        int node = p->form_id, i;
+        p->form_id = -1;
+        if (node == -1 || !el_in_scope(p, node))
+            return 0;
+        generate_implied(p, NULL);
+        for (i = p->n_open - 1; i >= 0; i--)
+            if (p->open[i].id == node) {
+                memmove(&p->open[i], &p->open[i + 1],
+                        (p->n_open - i - 1) * sizeof(OpenEnt));
+                p->n_open--;
+                break;
+            }
+        return 0;
+    }
+    case T_P:
+        if (!in_scope_tok(p, T_P, 1, 0)) {
+            PyObject *attrs = PyList_New(0);
+            int pid;
+            if (attrs == NULL)
+                return -1;
+            pid = insert_element(p, NM_p, attrs, T_P,
+                                 F_SP | F_BC | F_IMP | F_ADP, 1);
+            Py_DECREF(attrs);
+            CHECK(pid);
+        }
+        close_p(p);
+        return 0;
+    case T_LI:
+        if (in_scope_tok(p, T_LI, 0, 1)) {
+            generate_implied(p, name);
+            pop_until_tok(p, T_LI);
+        }
+        return 0;
+    case T_DD:
+    case T_DT:
+        if (in_scope_tok(p, tok, 0, 0)) {
+            generate_implied(p, name);
+            pop_until_tok(p, tok);
+        }
+        return 0;
+    case T_A:
+    case T_NOBR:
+    case T_FMTG:
+        return adoption_fast(p, tok, name);
+    case T_APPLETG:
+        return 0;  /* never on stack in subset: in_scope false, ignore */
+    case T_BR: {
+        PyObject *attrs = PyList_New(0);
+        int r;
+        if (attrs == NULL)
+            return -1;
+        r = in_body_start(p, ne, name, attrs, 0);
+        Py_DECREF(attrs);
+        return r;
+    }
+    default:
+        break;
+    }
+    if ((flags & F_BC) && tok != T_P) {
+        if (in_scope_name(p, name)) {
+            generate_implied(p, NULL);
+            pop_until_name(p, name);
+        }
+        return 0;
+    }
+    if (flags & F_HD) {
+        if (in_scope_flag(p, F_HD)) {
+            generate_implied(p, NULL);
+            pop_until_flag(p, F_HD);
+        }
+        return 0;
+    }
+    return any_other_end(p, name);
+}
+
+static int handle_end(P *p, const NameEnt *ne, PyObject *name)
+{
+    int tok = ne ? ne->tok : T_OTHER;
+
+    p->ignore_lf = 0;
+    if (p->done)
+        return 0;
+
+    switch (p->mode) {
+    case M_INITIAL:
+    case M_BEFORE_HTML:
+    case M_BEFORE_HEAD:
+        if (tok != T_HEAD && tok != T_BODY && tok != T_HTML && tok != T_BR)
+            return 0;
+        CHECK(synth_until_start(p, -1));
+        return handle_end(p, ne, name);
+    case M_IN_HEAD:
+        if (tok == T_HEAD) {
+            p->n_open--;
+            p->mode = M_AFTER_HEAD;
+            return 0;
+        }
+        if (tok == T_TEMPLATE)
+            return 0;
+        if (tok != T_BODY && tok != T_HTML && tok != T_BR)
+            return 0;
+        p->n_open--;
+        p->mode = M_AFTER_HEAD;
+        return handle_end(p, ne, name);
+    case M_AFTER_HEAD:
+        if (tok == T_TEMPLATE)
+            return 0;
+        if (tok != T_BODY && tok != T_HTML && tok != T_BR)
+            return 0;
+        {
+            PyObject *battrs = PyList_New(0);
+            int bid;
+            if (battrs == NULL)
+                return -1;
+            bid = insert_element(p, NM_body, battrs, T_BODY, F_SP, 1);
+            Py_DECREF(battrs);
+            CHECK(bid);
+        }
+        p->mode = M_IN_BODY;
+        return handle_end(p, ne, name);
+    case M_IN_BODY:
+        return in_body_end(p, ne, name);
+    case M_TEXT:
+        CHECK(flush_text(p));
+        p->n_open--;
+        p->mode = p->original_mode;
+        return 0;
+    case M_AFTER_BODY:
+        if (tok == T_HTML) {
+            p->mode = M_AFTER_AFTER_BODY;
+            return 0;
+        }
+        p->mode = M_IN_BODY;
+        return handle_end(p, ne, name);
+    case M_AFTER_AFTER_BODY:
+        p->mode = M_IN_BODY;
+        return handle_end(p, ne, name);
+    default:
+        ABORT(p);
+    }
+}
+
+/* ---------------- characters ---------------- */
+static Py_ssize_t lstrip_ws_index(PyObject *s)
+{
+    Py_ssize_t i, n = PyUnicode_GET_LENGTH(s);
+    int kind = PyUnicode_KIND(s);
+    const void *data = PyUnicode_DATA(s);
+    for (i = 0; i < n; i++) {
+        Py_UCS4 c = PyUnicode_READ(kind, data, i);
+        if (c != '\t' && c != '\n' && c != '\f' && c != ' ')
+            break;
+    }
+    return i;
+}
+
+static int handle_chars(P *p, PyObject *s)
+{
+    Py_ssize_t n;
+    if (p->done)
+        return 0;
+    n = PyUnicode_GET_LENGTH(s);
+    if (n == 0)
+        return 0;
+    if (p->ignore_lf) {
+        p->ignore_lf = 0;
+        if (PyUnicode_READ_CHAR(s, 0) == '\n') {
+            PyObject *rest = PyUnicode_Substring(s, 1, n);
+            int r;
+            if (rest == NULL)
+                return -1;
+            if (PyUnicode_GET_LENGTH(rest) == 0) {
+                Py_DECREF(rest);
+                return 0;
+            }
+            r = handle_chars(p, rest);
+            Py_DECREF(rest);
+            return r;
+        }
+    }
+    switch (p->mode) {
+    case M_IN_BODY: {
+        /* \x00 never occurs (document pre-screened) */
+        CHECK(reconstruct_afe(p));
+        return pend_text(p, cur_top(p), s);
+    }
+    case M_TEXT:
+        return pend_text(p, cur_top(p), s);
+    case M_INITIAL:
+    case M_BEFORE_HTML:
+    case M_BEFORE_HEAD: {
+        Py_ssize_t i = lstrip_ws_index(s);
+        PyObject *rest;
+        int r;
+        if (i == n)
+            return 0;
+        rest = PyUnicode_Substring(s, i, n);
+        if (rest == NULL)
+            return -1;
+        r = synth_to_body(p);
+        if (r == 0)
+            r = handle_chars(p, rest);
+        Py_DECREF(rest);
+        return r;
+    }
+    case M_IN_HEAD:
+    case M_AFTER_HEAD: {
+        Py_ssize_t i = lstrip_ws_index(s);
+        if (i > 0) {
+            PyObject *ws = PyUnicode_Substring(s, 0, i);
+            int r;
+            if (ws == NULL)
+                return -1;
+            r = pend_text(p, cur_top(p), ws);
+            Py_DECREF(ws);
+            CHECK(r);
+        }
+        if (i == n)
+            return 0;
+        {
+            PyObject *rest = PyUnicode_Substring(s, i, n);
+            int r;
+            if (rest == NULL)
+                return -1;
+            if (p->mode == M_IN_HEAD) {
+                p->n_open--;
+                p->mode = M_AFTER_HEAD;
+                r = handle_chars(p, rest);
+            } else {
+                PyObject *battrs = PyList_New(0);
+                int bid;
+                if (battrs == NULL) {
+                    Py_DECREF(rest);
+                    return -1;
+                }
+                bid = insert_element(p, NM_body, battrs, T_BODY, F_SP, 1);
+                Py_DECREF(battrs);
+                if (bid < 0) {
+                    Py_DECREF(rest);
+                    return -1;
+                }
+                p->mode = M_IN_BODY;
+                r = handle_chars(p, rest);
+            }
+            Py_DECREF(rest);
+            return r;
+        }
+    }
+    case M_AFTER_BODY:
+    case M_AFTER_AFTER_BODY: {
+        Py_ssize_t i = lstrip_ws_index(s);
+        if (i > 0) {
+            /* ws processed per in-body rules */
+            PyObject *ws = PyUnicode_Substring(s, 0, i);
+            int r;
+            if (ws == NULL)
+                return -1;
+            CHECK(reconstruct_afe(p));
+            r = pend_text(p, cur_top(p), ws);
+            Py_DECREF(ws);
+            CHECK(r);
+        }
+        if (i == n)
+            return 0;
+        {
+            PyObject *rest = PyUnicode_Substring(s, i, n);
+            int r;
+            if (rest == NULL)
+                return -1;
+            p->mode = M_IN_BODY;
+            r = handle_chars(p, rest);
+            Py_DECREF(rest);
+            return r;
+        }
+    }
+    default:
+        ABORT(p);
+    }
+}
+
+/* ---------------- comments / doctype / eof ---------------- */
+static int handle_comment(P *p, PyObject *s)
+{
+    CNode *c;
+    p->ignore_lf = 0;
+    if (p->done)
+        return 0;
+    CHECK(flush_text(p));
+    c = new_node(p, K_COMMENT);
+    if (c == NULL)
+        return -1;
+    Py_INCREF(s);
+    c->data = s;
+    if (p->mode == M_INITIAL || p->mode == M_BEFORE_HTML
+        || p->mode == M_AFTER_AFTER_BODY)
+        link_append(p, 0, c->id);
+    else if (p->mode == M_AFTER_BODY)
+        link_append(p, p->open[0].id, c->id);
+    else
+        link_append(p, cur_top(p), c->id);
+    return 0;
+}
+
+static int handle_doctype(P *p, PyObject *name)
+{
+    CNode *d;
+    PyObject *d2;
+    p->ignore_lf = 0;
+    if (p->done)
+        return 0;
+    if (p->mode != M_INITIAL)
+        ABORT(p);  /* unexpected-doctype parse error */
+    d = new_node(p, K_DOCTYPE);
+    if (d == NULL)
+        return -1;
+    Py_INCREF(name);
+    d->data = name;
+    d2 = PyTuple_Pack(2, Py_None, Py_None);
+    if (d2 == NULL)
+        return -1;
+    d->data2 = d2;
+    link_append(p, 0, d->id);
+    p->mode = M_BEFORE_HTML;
+    return 0;
+}
+
+static int handle_eof(P *p)
+{
+    if (p->done)
+        return 0;
+    if (p->mode == M_TEXT) {
+        CHECK(flush_text(p));
+        p->n_open--;
+        p->mode = p->original_mode;
+        return handle_eof(p);
+    }
+    CHECK(flush_text(p));
+    if (p->mode == M_INITIAL || p->mode == M_BEFORE_HTML
+        || p->mode == M_BEFORE_HEAD || p->mode == M_IN_HEAD
+        || p->mode == M_AFTER_HEAD)
+        CHECK(synth_to_body(p));
+    p->done = 1;
+    return 0;
+}
+
+/* default-scope check by element NAME (block-closer / pre / listing /
+ * button end tags): interned-name pointer equality against the stack */
+static int in_scope_name(P *p, PyObject *name)
+{
+    int i;
+    for (i = p->n_open - 1; i >= 0; i--) {
+        OpenEnt *e = &p->open[i];
+        if (NODE(p, e->id)->name == name)
+            return 1;
+        if (e->tok == T_HTML)
+            return 0;
+    }
+    return 0;
+}
+
+/* ====================================================================
+ * Scanner (the _scan.c macro-tokenizer core, direct-dispatch form).
+ * Byte space: every span boundary is an ASCII delimiter, so slicing
+ * the UTF-8 byte string at record offsets and decoding the slice is
+ * exact (see ctokenizer.py module docstring).
+ * ==================================================================== */
+
+static int sc_is_ws(uint8_t c) { return c == '\t' || c == '\n' || c == '\f' || c == ' '; }
+static uint8_t sc_lc(uint8_t c) { return (c >= 'A' && c <= 'Z') ? (uint8_t)(c + 32) : c; }
+static int sc_is_alpha(uint8_t c) { return (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'); }
+static int sc_attr_name_ch(uint8_t c) { return !(sc_is_ws(c) || c == '/' || c == '=' || c == '>'); }
+static int sc_unquoted_ch(uint8_t c) { return !(sc_is_ws(c) || c == '>'); }
+static int sc_delim(uint8_t c) { return sc_is_ws(c) || c == '/' || c == '>'; }
+
+#define MAX_NAME_SCRATCH 256
+
+/* lowercase span into scratch; returns len or -1 (too long => abort) */
+static Py_ssize_t lower_into(const uint8_t *s, Py_ssize_t a, Py_ssize_t b,
+                             uint8_t *scratch)
+{
+    Py_ssize_t i, len = b - a;
+    if (len > MAX_NAME_SCRATCH)
+        return -1;
+    for (i = 0; i < len; i++)
+        scratch[i] = sc_lc(s[a + i]);
+    return len;
+}
+
+/* decode a byte span to str, optionally charref-decoding */
+static PyObject *span_str(P *p, Py_ssize_t a, Py_ssize_t b,
+                          int amp, int in_attr)
+{
+    PyObject *s = PyUnicode_DecodeUTF8((const char *)p->b + a, b - a,
+                                       "surrogatepass");
+    if (s == NULL || !amp)
+        return s;
+    {
+        PyObject *dec = PyObject_CallFunctionObjArgs(
+            g_decode, s, in_attr ? Py_True : Py_False, NULL);
+        Py_DECREF(s);
+        return dec;
+    }
+}
+
+typedef struct {
+    Py_ssize_t ans, ane, vs, ve;
+    int vamp;
+} AttrSpan;
+
+/* Scan one tag from name_start; fills name span + attr spans.
+ * Returns resume pos, -1 on EOF-in-tag (drop tag), -3 on abort
+ * (attr overflow). */
+#define MAX_ATTRS 64
+static Py_ssize_t scan_tag_spans(P *p, Py_ssize_t name_start, int end_tag,
+                                 Py_ssize_t *ne_out, AttrSpan *attrs,
+                                 int *nattrs_out, int *self_closing_out)
+{
+    const uint8_t *s = p->b;
+    Py_ssize_t n = p->n, i = name_start;
+    int nattrs = 0, self_closing = 0;
+
+    while (i < n && !(sc_is_ws(s[i]) || s[i] == '/' || s[i] == '>'))
+        i++;
+    *ne_out = i;
+
+    for (;;) {
+        uint8_t c;
+        Py_ssize_t ans, ane, vs = -1, ve = -1;
+        int vflag = 0;
+        while (i < n && sc_is_ws(s[i]))
+            i++;
+        if (i >= n)
+            return -1;
+        c = s[i];
+        if (c == '>') { i++; break; }
+        if (c == '/') {
+            if (i + 1 < n && s[i + 1] == '>') { self_closing = 1; i += 2; break; }
+            i++;
+            continue;
+        }
+        ans = i;
+        if (c == '=')
+            i++;                      /* '=' folds into the name */
+        while (i < n && sc_attr_name_ch(s[i]))
+            i++;
+        ane = i;
+        while (i < n && sc_is_ws(s[i]))
+            i++;
+        if (i < n && s[i] == '=') {
+            uint8_t q;
+            i++;
+            while (i < n && sc_is_ws(s[i]))
+                i++;
+            if (i >= n)
+                return -1;
+            q = s[i];
+            if (q == '"' || q == '\'') {
+                const uint8_t *j = memchr(s + i + 1, q, n - i - 1);
+                if (!j)
+                    return -1;
+                vs = i + 1;
+                ve = j - s;
+                i = ve + 1;
+            } else {
+                vs = i;
+                while (i < n && sc_unquoted_ch(s[i]))
+                    i++;
+                ve = i;
+                if (i >= n)
+                    return -1;
+            }
+            if (ve > vs && memchr(s + vs, '&', ve - vs))
+                vflag = 1;
+        } else if (i >= n) {
+            return -1;
+        }
+        if (!end_tag) {
+            if (nattrs >= MAX_ATTRS)
+                return -3;
+            attrs[nattrs].ans = ans;
+            attrs[nattrs].ane = ane;
+            attrs[nattrs].vs = vs;
+            attrs[nattrs].ve = ve;
+            attrs[nattrs].vamp = vflag;
+            nattrs++;
+        }
+    }
+    *nattrs_out = nattrs;
+    *self_closing_out = self_closing;
+    return i;
+}
+
+/* build the Python attrs list ([None, name, value] inner lists, first
+ * occurrence of a duplicate name wins) */
+static PyObject *build_attrs(P *p, AttrSpan *spans, int n)
+{
+    PyObject *list = PyList_New(0);
+    uint8_t scratch[MAX_NAME_SCRATCH];
+    int i;
+    if (list == NULL)
+        return NULL;
+    for (i = 0; i < n; i++) {
+        Py_ssize_t len = lower_into(p->b, spans[i].ans, spans[i].ane, scratch);
+        PyObject *aname, *value, *inner;
+        Py_ssize_t j, have = 0;
+        if (len < 0)
+            goto fail;
+        aname = intern_name(scratch, len);
+        if (aname == NULL)
+            goto fail;
+        for (j = 0; j < PyList_GET_SIZE(list); j++)
+            if (PyList_GET_ITEM(PyList_GET_ITEM(list, j), 1) == aname) {
+                have = 1;
+                break;
+            }
+        if (have)
+            continue;
+        if (spans[i].vs < 0) {
+            Py_INCREF(g_empty_str);
+            value = g_empty_str;
+        } else {
+            value = span_str(p, spans[i].vs, spans[i].ve, spans[i].vamp, 1);
+            if (value == NULL)
+                goto fail;
+        }
+        inner = PyList_New(3);
+        if (inner == NULL) {
+            Py_DECREF(value);
+            goto fail;
+        }
+        Py_INCREF(Py_None);
+        PyList_SET_ITEM(inner, 0, Py_None);
+        Py_INCREF(aname);
+        PyList_SET_ITEM(inner, 1, aname);
+        PyList_SET_ITEM(inner, 2, value);
+        if (PyList_Append(list, inner) < 0) {
+            Py_DECREF(inner);
+            goto fail;
+        }
+        Py_DECREF(inner);
+    }
+    return list;
+fail:
+    Py_DECREF(list);
+    return NULL;
+}
+
+/* text record => handle_chars */
+static int emit_text(P *p, Py_ssize_t a, Py_ssize_t b, int amp, int rcdata)
+{
+    PyObject *s;
+    int r;
+    if (b <= a)
+        return 0;
+    s = span_str(p, a, b, amp, 0);
+    (void)rcdata;
+    if (s == NULL)
+        return -1;
+    r = handle_chars(p, s);
+    Py_DECREF(s);
+    return r;
+}
+
+/* ---------------- raw-mode consumers (byte ports of ctokenizer) ------ */
+
+/* find `</tag` + delimiter (case-insensitive), from `from`; -1 if none */
+static Py_ssize_t find_raw_close(P *p, Py_ssize_t from)
+{
+    const uint8_t *s = p->b;
+    Py_ssize_t n = p->n, i = from;
+    const char *tag = p->raw_ne->name;
+    int tlen = p->raw_ne->len;
+    while (i < n) {
+        const uint8_t *q = memchr(s + i, '<', n - i);
+        Py_ssize_t qi;
+        int k;
+        if (q == NULL)
+            return -1;
+        qi = q - s;
+        if (qi + 2 + tlen >= n)
+            return -1;  /* lookahead cannot succeed */
+        if (s[qi + 1] != '/') {
+            i = qi + 1;
+            continue;
+        }
+        for (k = 0; k < tlen; k++)
+            if (sc_lc(s[qi + 2 + k]) != (uint8_t)tag[k])
+                break;
+        if (k == tlen && sc_delim(s[qi + 2 + tlen]))
+            return qi;
+        i = qi + 1;
+    }
+    return -1;
+}
+
+/* rcdata / rawtext: emit text, stop at the close tag (scanner parses
+ * the close tag itself) */
+static Py_ssize_t consume_rcdata_rawtext(P *p, Py_ssize_t pos, int *err)
+{
+    int rcdata = (p->raw_kind == 1);
+    Py_ssize_t m = find_raw_close(p, pos);
+    p->raw_kind = 0;
+    if (m < 0) {
+        if (pos < p->n && emit_text(p, pos, p->n,
+                rcdata && memchr(p->b + pos, '&', p->n - pos) != NULL,
+                rcdata) < 0)
+            *err = 1;
+        return p->n;
+    }
+    if (m > pos && emit_text(p, pos, m,
+            rcdata && memchr(p->b + pos, '&', m - pos) != NULL, rcdata) < 0)
+        *err = 1;
+    return m;
+}
+
+/* script data: escaped / double-escaped state machine
+ * (ctokenizer._consume_script) */
+#define ST_COMSTART 0  /* <!--      */
+#define ST_COMEND 1    /* -->       */
+#define ST_CLOSE 2     /* </script  */
+#define ST_OPEN 3      /* <script   */
+
+static Py_ssize_t find_script_tok(P *p, Py_ssize_t from, int *kind)
+{
+    const uint8_t *s = p->b;
+    Py_ssize_t n = p->n, i = from;
+    while (i < n) {
+        const uint8_t *q1 = memchr(s + i, '<', n - i);
+        const uint8_t *q2 = memchr(s + i, '-', n - i);
+        Py_ssize_t qi;
+        if (q1 == NULL && q2 == NULL)
+            return -1;
+        if (q2 != NULL && (q1 == NULL || q2 < q1)) {
+            qi = q2 - s;
+            if (qi + 2 < n && s[qi + 1] == '-' && s[qi + 2] == '>') {
+                *kind = ST_COMEND;
+                return qi;
+            }
+            /* '<' may sit between this '-' and the next '-' run */
+            if (q1 != NULL && q1 - s < qi + 1) {
+                i = q1 - s;
+                continue;
+            }
+            i = qi + 1;
+            continue;
+        }
+        qi = q1 - s;
+        if (qi + 3 < n && s[qi + 1] == '!' && s[qi + 2] == '-'
+            && s[qi + 3] == '-') {
+            *kind = ST_COMSTART;
+            return qi;
+        }
+        if (qi + 1 < n && s[qi + 1] == '/') {
+            int k;
+            if (qi + 2 + 6 < n) {
+                for (k = 0; k < 6; k++)
+                    if (sc_lc(s[qi + 2 + k]) != (uint8_t)"script"[k])
+                        break;
+                if (k == 6 && sc_delim(s[qi + 2 + 6])) {
+                    *kind = ST_CLOSE;
+                    return qi;
+                }
+            }
+        } else {
+            int k;
+            if (qi + 1 + 6 < n) {
+                for (k = 0; k < 6; k++)
+                    if (sc_lc(s[qi + 1 + k]) != (uint8_t)"script"[k])
+                        break;
+                if (k == 6 && sc_delim(s[qi + 1 + 6])) {
+                    *kind = ST_OPEN;
+                    return qi;
+                }
+            }
+        }
+        i = qi + 1;
+    }
+    return -1;
+}
+
+static Py_ssize_t consume_script(P *p, Py_ssize_t pos, int *err)
+{
+    Py_ssize_t n = p->n, scan = pos;
+    int escaped = 0, dbl = 0;
+    p->raw_kind = 0;
+    for (;;) {
+        int kind;
+        Py_ssize_t m = find_script_tok(p, scan, &kind);
+        if (m < 0) {
+            if (pos < n && emit_text(p, pos, n, 0, 0) < 0)
+                *err = 1;
+            return n;
+        }
+        if (kind == ST_COMSTART) {
+            if (!escaped) { escaped = 1; dbl = 0; }
+            scan = m + 4;
+        } else if (kind == ST_COMEND) {
+            escaped = 0;
+            dbl = 0;
+            scan = m + 3;
+        } else if (kind == ST_CLOSE) {
+            if (dbl) {
+                dbl = 0;
+                scan = m + 8;
+            } else {
+                if (m > pos && emit_text(p, pos, m, 0, 0) < 0)
+                    *err = 1;
+                return m;
+            }
+        } else {  /* ST_OPEN */
+            if (escaped && !dbl)
+                dbl = 1;
+            scan = m + 7;
+        }
+    }
+}
+
+/* ---------------- comment / doctype span scanners (_scan.c ports) ---- */
+static Py_ssize_t scan_comment_span(P *p, Py_ssize_t start,
+                                    Py_ssize_t *a, Py_ssize_t *b)
+{
+    const uint8_t *s = p->b;
+    Py_ssize_t n = p->n;
+    const uint8_t *p1, *p2;
+    Py_ssize_t i1, j1;
+    if (start < n && s[start] == '>') {
+        *a = *b = start;
+        return start + 1;
+    }
+    if (start + 1 < n && s[start] == '-' && s[start + 1] == '>') {
+        *a = *b = start;
+        return start + 2;
+    }
+    p1 = memmem(s + start, n - start, "-->", 3);
+    p2 = memmem(s + start, n - start, "--!>", 4);
+    i1 = p1 ? p1 - s : -1;
+    j1 = p2 ? p2 - s : -1;
+    if (j1 != -1 && (i1 == -1 || j1 < i1)) {
+        *a = start;
+        *b = j1;
+        return j1 + 4;
+    }
+    if (i1 != -1) {
+        *a = start;
+        *b = i1;
+        return i1 + 3;
+    }
+    *a = start;
+    *b = n;
+    return n;
+}
+
+/* ---------------- main scan loop ---------------- */
+static int run_scanner(P *p)
+{
+    const uint8_t *s = p->b;
+    Py_ssize_t n = p->n, pos = 0;
+    uint8_t scratch[MAX_NAME_SCRATCH];
+    AttrSpan aspans[MAX_ATTRS];
+
+    while (pos < n) {
+        const uint8_t *ltp;
+        Py_ssize_t lt, i;
+        uint8_t c;
+
+        if (p->raw_kind != 0) {
+            int err = 0;
+            if (p->raw_kind == 3)
+                pos = consume_script(p, pos, &err);
+            else
+                pos = consume_rcdata_rawtext(p, pos, &err);
+            if (err || p->aborted)
+                return -1;
+            continue;
+        }
+
+        ltp = memchr(s + pos, '<', n - pos);
+        lt = ltp ? (Py_ssize_t)(ltp - s) : n;
+        if (lt > pos) {
+            CHECK(emit_text(p, pos, lt,
+                            memchr(s + pos, '&', lt - pos) != NULL, 0));
+            pos = lt;
+        }
+        if (!ltp)
+            break;
+        i = pos + 1;
+        if (i >= n) {
+            CHECK(handle_chars(p, g_lt_str));
+            break;
+        }
+        c = s[i];
+        if (c == '/') {
+            Py_ssize_t j = i + 1;
+            if (j < n && sc_is_alpha(s[j])) {
+                Py_ssize_t ne_pos, r;
+                int na, selfc;
+                Py_ssize_t nlen;
+                const NameEnt *ent;
+                PyObject *nm;
+                r = scan_tag_spans(p, j, 1, &ne_pos, aspans, &na, &selfc);
+                if (r == -1) { pos = n; break; }
+                if (r == -3)
+                    ABORT(p);
+                nlen = lower_into(s, j, ne_pos, scratch);
+                if (nlen < 0)
+                    ABORT(p);
+                ent = name_lookup(scratch, nlen);
+                nm = intern_name(scratch, nlen);
+                if (nm == NULL)
+                    ABORT(p);
+                CHECK(handle_end(p, ent, nm));
+                if (p->aborted)
+                    return -1;
+                pos = r;
+                continue;
+            }
+            if (j < n && s[j] == '>') { pos = j + 1; continue; }
+            ABORT(p);  /* bogus comment => parse error */
+        }
+        if (sc_is_alpha(c)) {
+            Py_ssize_t ne_pos, r;
+            int na, selfc;
+            Py_ssize_t nlen;
+            const NameEnt *ent;
+            PyObject *nm, *attrs;
+            r = scan_tag_spans(p, i, 0, &ne_pos, aspans, &na, &selfc);
+            if (r == -1) { pos = n; break; }
+            if (r == -3)
+                ABORT(p);
+            nlen = lower_into(s, i, ne_pos, scratch);
+            if (nlen < 0)
+                ABORT(p);
+            ent = name_lookup(scratch, nlen);
+            nm = intern_name(scratch, nlen);
+            if (nm == NULL)
+                ABORT(p);
+            attrs = build_attrs(p, aspans, na);
+            if (attrs == NULL)
+                ABORT(p);
+            {
+                int hr = handle_start(p, ent, nm, attrs, selfc);
+                Py_DECREF(attrs);
+                CHECK(hr);
+            }
+            if (p->aborted)
+                return -1;
+            pos = r;
+            continue;
+        }
+        if (c == '!') {
+            if (i + 2 < n && s[i + 1] == '-' && s[i + 2] == '-') {
+                Py_ssize_t a, b;
+                PyObject *cm;
+                pos = scan_comment_span(p, i + 3, &a, &b);
+                cm = span_str(p, a, b, 0, 0);
+                if (cm == NULL)
+                    return -1;
+                {
+                    int hr = handle_comment(p, cm);
+                    Py_DECREF(cm);
+                    CHECK(hr);
+                }
+                continue;
+            }
+            if (i + 8 <= n && sc_lc(s[i + 1]) == 'd' && sc_lc(s[i + 2]) == 'o'
+                && sc_lc(s[i + 3]) == 'c' && sc_lc(s[i + 4]) == 't'
+                && sc_lc(s[i + 5]) == 'y' && sc_lc(s[i + 6]) == 'p'
+                && sc_lc(s[i + 7]) == 'e') {
+                Py_ssize_t k = i + 8, ns, ne2, nlen;
+                const uint8_t *e;
+                PyObject *nm;
+                while (k < n && sc_is_ws(s[k]))
+                    k++;
+                ns = k;
+                while (k < n && !sc_is_ws(s[k]) && s[k] != '>')
+                    k++;
+                ne2 = k;
+                nlen = lower_into(s, ns, ne2, scratch);
+                if (nlen < 0)
+                    ABORT(p);
+                nm = PyUnicode_DecodeUTF8((const char *)scratch, nlen,
+                                          "surrogatepass");
+                if (nm == NULL)
+                    return -1;
+                {
+                    int hr = handle_doctype(p, nm);
+                    Py_DECREF(nm);
+                    CHECK(hr);
+                }
+                if (p->aborted)
+                    return -1;
+                e = memchr(s + ne2, '>', n - ne2);
+                pos = e ? (e - s) + 1 : n;
+                continue;
+            }
+            /* <![CDATA[ (needs foreign flag: never set in subset) or
+             * bogus comment: both are parse errors here */
+            ABORT(p);
+        }
+        if (c == '?')
+            ABORT(p);  /* bogus comment */
+        /* literal '<': the char after stays in data */
+        CHECK(handle_chars(p, g_lt_str));
+        pos = i;
+    }
+    return handle_eof(p);
+}
+
+/* ---------------- entry points ---------------- */
+static void p_free(P *p, int decref_nodes)
+{
+    int i;
+    if (decref_nodes)
+        for (i = 0; i < p->n_nodes; i++)
+            Py_DECREF(p->nodes[i]);
+    PyMem_Free(p->nodes);
+    PyMem_Free(p->open);
+    for (i = 0; i < p->n_afe; i++) {
+        Py_DECREF(p->afe[i].name);
+        Py_DECREF(p->afe[i].attrs);
+    }
+    PyMem_Free(p->afe);
+    Py_XDECREF(p->pend);
+}
+
+static PyObject *fl_parse(PyObject *self, PyObject *arg)
+{
+    P p;
+    char *buf;
+    Py_ssize_t blen;
+    (void)self;
+    if (g_decode == NULL) {
+        PyErr_SetString(PyExc_RuntimeError, "fastlane.setup() not called");
+        return NULL;
+    }
+    if (PyBytes_AsStringAndSize(arg, &buf, &blen) < 0)
+        return NULL;
+    if (blen > INT32_MAX / 2)
+        Py_RETURN_NONE;
+    /* NUL bytes take the spec's replacement paths: fall back */
+    if (memchr(buf, 0, blen) != NULL)
+        Py_RETURN_NONE;
+
+    memset(&p, 0, sizeof(p));
+    p.b = (const uint8_t *)buf;
+    p.n = blen;
+    p.head_id = -1;
+    p.form_id = -1;
+    p.pend_parent = -1;
+    p.pend_merge = -1;
+    p.mode = M_INITIAL;
+    p.original_mode = M_IN_BODY;
+
+    if (new_node(&p, K_DOCUMENT) == NULL) {
+        p_free(&p, 1);
+        return NULL;
+    }
+
+    if (run_scanner(&p) < 0 || p.aborted) {
+        /* abort => Python fallback; swallow any in-flight exception
+         * (the Python machine recomputes and raises visibly if real) */
+        PyErr_Clear();
+        p_free(&p, 1);
+        Py_RETURN_NONE;
+    }
+
+    {
+        PyObject *list = PyList_New(p.n_nodes);
+        int i;
+        if (list == NULL) {
+            p_free(&p, 1);
+            return NULL;
+        }
+        for (i = 0; i < p.n_nodes; i++)
+            PyList_SET_ITEM(list, i, p.nodes[i]);  /* steal refs */
+        p.n_nodes = 0;
+        p_free(&p, 0);
+        return list;
+    }
+}
+
+static PyObject *fl_setup(PyObject *self, PyObject *args)
+{
+    PyObject *decode, *html_ns, *node_from_state;
+    (void)self;
+    if (!PyArg_ParseTuple(args, "OOO", &decode, &html_ns, &node_from_state))
+        return NULL;
+    Py_INCREF(decode);
+    Py_XSETREF(g_decode, decode);
+    Py_INCREF(html_ns);
+    Py_XSETREF(g_html_ns, html_ns);
+    Py_INCREF(node_from_state);
+    Py_XSETREF(g_node_from_state, node_from_state);
+    if (g_lt_str == NULL) {
+        g_lt_str = PyUnicode_FromString("<");
+        g_empty_str = PyUnicode_FromString("");
+        NM_html = intern_name((const uint8_t *)"html", 4);
+        NM_head = intern_name((const uint8_t *)"head", 4);
+        NM_body = intern_name((const uint8_t *)"body", 4);
+        NM_p = intern_name((const uint8_t *)"p", 1);
+        NM_img = intern_name((const uint8_t *)"img", 3);
+        NM_rtc = intern_name((const uint8_t *)"rtc", 3);
+        if (g_lt_str == NULL || g_empty_str == NULL || NM_html == NULL
+            || NM_head == NULL || NM_body == NULL || NM_p == NULL
+            || NM_img == NULL || NM_rtc == NULL)
+            return NULL;
+        Py_INCREF(NM_html);  /* hold refs beyond the cache's */
+        Py_INCREF(NM_head);
+        Py_INCREF(NM_body);
+        Py_INCREF(NM_p);
+        Py_INCREF(NM_img);
+        Py_INCREF(NM_rtc);
+    }
+    Py_RETURN_NONE;
+}
+
+static PyMethodDef fl_methods[] = {
+    {"setup", fl_setup, METH_VARARGS,
+     "setup(decode_charrefs, html_ns, node_from_state)"},
+    {"parse", fl_parse, METH_O,
+     "parse(utf8_bytes) -> arena node list, or None to fall back"},
+    {NULL, NULL, 0, NULL},
+};
+
+static struct PyModuleDef fl_module = {
+    PyModuleDef_HEAD_INIT, "nr_fastlane",
+    "C fast lane for the nipper_ray HTML parser", -1, fl_methods,
+    NULL, NULL, NULL, NULL,
+};
+
+PyMODINIT_FUNC PyInit_nr_fastlane(void)
+{
+    PyObject *m;
+    if (PyType_Ready(&CNodeType) < 0)
+        return NULL;
+    m = PyModule_Create(&fl_module);
+    if (m == NULL)
+        return NULL;
+    Py_INCREF(&CNodeType);
+    if (PyModule_AddObject(m, "CNode", (PyObject *)&CNodeType) < 0) {
+        Py_DECREF(&CNodeType);
+        Py_DECREF(m);
+        return NULL;
+    }
+    return m;
+}

@@ -5,11 +5,22 @@ as the reference uses them (/root/reference/src/document.rs:40-56 and
 from __future__ import annotations
 
 from ..dom import Tree
+from .fastlane import parse_document_fast
 from .treebuilder import TreeBuilder
 
 
 def parse_document(html: str) -> Tree:
-    """Full-document parse (Document::from, document.rs:40-44)."""
+    """Full-document parse (Document::from, document.rs:40-44).
+
+    Tries the C whole-document fast lane first (html/_fastlane.c: the
+    error-free common subset of the insertion-mode machine, arena-
+    identical by construction and pinned by
+    tests/test_fastlane_differential.py); anything outside the subset
+    returns None and the pure-Python machine takes over.
+    """
+    tree = parse_document_fast(html)
+    if tree is not None:
+        return tree
     return TreeBuilder().parse(html)
 
 

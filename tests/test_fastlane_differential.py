@@ -1,0 +1,185 @@
+"""Differential: the C whole-document fast lane (html/_fastlane.c via
+html/fastlane.py) must either ABORT (return None -> Python fallback) or
+produce an arena that is node-for-node IDENTICAL to the pure-Python
+TreeBuilder — same ids, kinds, names, attrs, linkage, text, AND zero
+accumulated parse errors (the subset is the error-free path: any input
+the Python machine records an error for must abort).
+
+Strictly stronger than serialize-equality: id-level identity pins the
+fast lane to the exact creation order of the reference machine, which
+keeps every downstream consumer (css matcher, api mutation, serializer)
+oblivious to which lane produced the tree."""
+
+import glob
+import os
+import pickle
+import random
+
+import pytest
+
+from nipper_ray.html import fastlane
+from nipper_ray.html.treebuilder import TreeBuilder
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
+pytestmark = pytest.mark.skipif(fastlane.get() is None,
+                                reason="fast lane unavailable")
+
+FIELDS = ("id", "kind", "parent", "first_child", "last_child", "prev",
+          "next", "name", "ns", "attrs", "data", "data2",
+          "template_contents", "mathml_aip")
+
+
+def _assert_same(fast, py, label):
+    assert len(fast.nodes) == len(py.nodes), label
+    for x, y in zip(fast.nodes, py.nodes):
+        for f in FIELDS:
+            assert getattr(x, f) == getattr(y, f), \
+                "%s: node %d field %s: %r != %r" % (
+                    label, y.id, f, getattr(x, f), getattr(y, f))
+    assert fast.errors == [] == py.errors, label
+
+
+def _check(html, label=None):
+    """Returns True when the fast lane handled the input."""
+    label = label or html[:120]
+    fast = fastlane.parse_document_fast(html)
+    py = TreeBuilder().parse(html)
+    if fast is None:
+        return False
+    # the subset is the error-free path: a non-aborting parse of an
+    # erroring document would silently change Tree.errors semantics
+    assert py.errors == [], "fast lane accepted an erroring doc: %s" % label
+    _assert_same(fast, py, label)
+    # end-to-end sanity on the public reads
+    assert fast.serialize(0) == py.serialize(0), label
+    assert fast.text(0) == py.text(0), label
+    return True
+
+
+def test_edge_cases_differential():
+    from test_ctokenizer_differential import EDGE_CASES
+
+    handled = sum(1 for html in EDGE_CASES if _check(html))
+    # the clean subset must actually cover a decent slice of the edge
+    # battery (raw text, entities, attrs, comments, implied closes)
+    assert handled >= 25, handled
+
+
+def test_fixture_pages_differential():
+    for p in glob.glob(os.path.join(FIXTURES, "*.html")):
+        with open(p, encoding="utf-8", errors="replace") as f:
+            _check(f.read(), label=os.path.basename(p))
+
+
+def test_synthetic_corpus_no_fallback():
+    """Every synthetic crawl page must take the fast lane (this is the
+    hot path the lane exists for) and match the Python machine."""
+    from nipper_ray.sources.synth import gen_page_html
+
+    misses = 0
+    for doc_id in range(40):
+        html = gen_page_html(doc_id, "Lorem ipsum & <dolor> sit amet. "
+                             * (doc_id + 1), 4000)
+        if not _check(html, label="synth %d" % doc_id):
+            misses += 1
+    assert misses == 0
+
+
+def test_goldens_full_document_differential():
+    """Golden inputs reparsed as full documents (the goldens themselves
+    are fragment-context; the fast lane only does documents)."""
+    from test_html_dom import GOLDENS
+
+    for name, inp, _exp in GOLDENS:
+        _check(inp, label=name)
+
+
+def test_adversarial_soup_differential():
+    rng = random.Random(0xFA57)
+    atoms = ["<", ">", "/", "=", '"', "'", "&", "!", "-", "?", "[", "]",
+             " ", "\t", "\n", "\f", "a", "B", "p", "1", "é",
+             "中", "<p", "</p>", "<a href=", "&amp;", "<!--", "-->",
+             "<script>", "</script>", "<title>", "</title>", "<svg>",
+             "</svg>", "<![CDATA[", "]]>", "<!doctype html>", "<table>",
+             "<td>", "<li>", "<b>", "</b>", "<plaintext>", "<textarea>",
+             "</textarea>", "\r\n", "\r", "<math>", "</math>",
+             "<template>", "</template>", "<select>", "<noscript>",
+             "<xmp>", "</xmp>", "\x00", "<ul>", "</ul>", "<div>",
+             "</div>", "<pre>", "</pre>", "<h1>", "</h1>", "<form>",
+             "</form>", "<input>", "<br>", "<hr>", "<em>", "</em>",
+             "<button>", "</button>", "<ruby>", "<rt>", "</ruby>",
+             "<dd>", "<dt>", "<dl>", "</dl>", "<option>", "<optgroup>",
+             "</body>", "</html>", "<body>", "<head>", "</head>",
+             "<html>", "<nobr>", "</nobr>", "<a>", "</a>"]
+    for trial in range(500):
+        html = "".join(rng.choice(atoms)
+                       for _ in range(rng.randrange(1, 80)))
+        _check(html, label="soup %d" % trial)
+
+
+def test_formatting_reconstruction_differential():
+    """Active-formatting reconstruction across block boundaries — the
+    hairiest part of the subset (afe + Noah's Ark + reconstruct)."""
+    cases = [
+        "<b>one<p>two</p>three</b>four",
+        "<p><b>x</p><p>y</p>",            # reconstruct into second p
+        "<li><b>x<li>y",                   # reconstruct into second li
+        "<b><b><b><b>noah</b>",            # Noah's Ark cap
+        "<b class=a><b class=a><b class=a><b class=a>n</b>",
+        "<i>a<div>b</div>c</i>",
+        "<a href=1>x<p>y",                 # a reconstructed into p
+        "<em><strong>z</strong></em>",
+        "<b>x</b><b>y</b>",
+        "<u><s><small>deep</small></s></u>tail",
+        "<p><code>c</p>after",
+    ]
+    for html in cases:
+        handled = _check(html)
+        assert handled, html  # all of these are error-free: must NOT abort
+
+
+def test_fastlane_through_api():
+    """Document built on the fast lane supports the full Selection API
+    including mutation (CNode is attribute-compatible with dom.Node)."""
+    from nipper_ray.api import Document
+
+    html = ("<!DOCTYPE html><html><head><title>T</title></head><body>"
+            "<div id=main class='a b'><p>one</p><p>two</p>"
+            "<a href='/x'>l</a></div></body></html>")
+    doc = Document(html)
+    # confirm the fast lane actually produced this tree
+    mod = fastlane.get()
+    assert any(type(n).__name__ == "CNode" for n in doc.tree.nodes), mod
+    sel = doc.select("div#main > p")
+    assert sel.length() == 2
+    assert sel.text() == "onetwo"
+    sel.add_class("added")
+    assert "added" in doc.select("p").attr_or("class", "")
+    doc.select("a").set_attr("href", "/y")
+    assert doc.select("a").attr("href") == "/y"
+    doc.select("p").remove()
+    assert doc.select("p").length() == 0
+    assert "two" not in doc.html()
+
+
+def test_cnode_pickle_roundtrip():
+    """CNode pickles into a plain Python Node (no extension needed on
+    the unpickling side)."""
+    t = fastlane.parse_document_fast("<p class=x>hi</p>")
+    assert t is not None
+    blob = pickle.dumps(t.nodes)
+    nodes = pickle.loads(blob)
+    for a, b in zip(t.nodes, nodes):
+        assert type(b).__name__ == "Node"
+        for f in FIELDS:
+            assert getattr(a, f) == getattr(b, f)
+
+
+def test_env_kill_switch(monkeypatch):
+    monkeypatch.setenv("NIPPER_RAY_NO_FASTLANE", "1")
+    monkeypatch.setattr(fastlane, "_tried", False)
+    monkeypatch.setattr(fastlane, "_mod", None)
+    assert fastlane.get() is None
+    assert fastlane.parse_document_fast("<p>x</p>") is None
+    monkeypatch.setattr(fastlane, "_tried", False)
