@@ -176,7 +176,7 @@ _FIXTURE_READABILITY = (
     ("page2.html", "Tests for siblings",
      "d41d8cd98f00b204e9800998ecf8427e", 0),
     ("hacker_news.html", "Hacker News",
-     "8e304daf1838896fc0645381ee7dae7f", 4063),
+     "a38e0a58ea2d15fd21e897d176ea2481", 4806),
     ("rustwiki.html", "Rust (programming language) - Wikipedia",
      "6a6a3438b24696f84e0457ea07aade6d", 27467),
     ("wisburg.html", "通胀三部曲之一：哄抢卫生纸对通胀的影响大吗？ - 智堡 Wisburg",

@@ -39,6 +39,13 @@
 #define M_AFTER_HEAD 4
 #define M_IN_BODY 5
 #define M_TEXT 6
+#define M_IN_TABLE 7
+#define M_IN_TABLE_TEXT 8
+#define M_IN_CAPTION 9
+#define M_IN_COLUMN_GROUP 10
+#define M_IN_TABLE_BODY 11
+#define M_IN_ROW 12
+#define M_IN_CELL 13
 #define M_AFTER_BODY 17
 #define M_AFTER_AFTER_BODY 20
 
@@ -53,6 +60,8 @@
 #define F_IGB 0x0080u     /* ignored start tag in body */
 #define F_LSC 0x0100u     /* ol/ul: list-item scope boundary */
 #define F_ADP 0x0200u     /* address/div/p (li/dd/dt walk exception) */
+#define F_SCOPEB 0x0400u  /* DEFAULT_SCOPE boundary reachable in the
+                           * subset: html, table, td, th, caption */
 
 enum {
     T_OTHER = 0, T_HTML, T_HEAD, T_BODY, T_P, T_A, T_NOBR, T_BUTTON,
@@ -60,7 +69,8 @@ enum {
     T_INPUT, T_PST, T_TEXTAREA, T_XMP, T_IFRAME, T_NOEMBED, T_NOSCRIPT,
     T_SCRIPT, T_STYLE, T_NOFRAMES, T_TITLE, T_HEADVOID, T_OPTION,
     T_OPTGROUP, T_RB, T_RTC, T_RPRT, T_RUBY, T_APPLETG, T_TEMPLATE,
-    T_FMTG,
+    T_FMTG, T_TABLE, T_CAPTION, T_COL, T_COLGROUP, T_TBTFTH, T_TDTH,
+    T_TR,
 };
 
 typedef struct { const char *name; uint8_t len; uint8_t tok; uint16_t flags; } NameEnt;
@@ -82,11 +92,11 @@ static const NameEnt NAMES[] = {
     {"body", 4, T_BODY, F_SP},
     {"br", 2, T_BR, F_SP},
     {"button", 6, T_BUTTON, F_SP},
-    {"caption", 7, T_OTHER, F_SP | F_IGB},
+    {"caption", 7, T_CAPTION, F_SP | F_IGB | F_SCOPEB},
     {"center", 6, T_OTHER, F_SP | F_BC},
     {"code", 4, T_FMTG, F_FMT},
-    {"col", 3, T_OTHER, F_SP | F_IGB},
-    {"colgroup", 8, T_OTHER, F_SP | F_IGB},
+    {"col", 3, T_COL, F_SP | F_IGB},
+    {"colgroup", 8, T_COLGROUP, F_SP | F_IGB},
     {"dd", 2, T_DD, F_SP | F_IMP},
     {"details", 7, T_OTHER, F_SP | F_BC},
     {"dialog", 6, T_OTHER, F_BC},
@@ -114,7 +124,7 @@ static const NameEnt NAMES[] = {
     {"header", 6, T_OTHER, F_SP | F_BC},
     {"hgroup", 6, T_OTHER, F_SP | F_BC},
     {"hr", 2, T_HR, F_SP},
-    {"html", 4, T_HTML, F_SP},
+    {"html", 4, T_HTML, F_SP | F_SCOPEB},
     {"i", 1, T_FMTG, F_FMT},
     {"iframe", 6, T_IFRAME, F_SP},
     {"image", 5, T_IMAGE, 0},
@@ -158,16 +168,16 @@ static const NameEnt NAMES[] = {
     {"style", 5, T_STYLE, F_SP | F_IH},
     {"summary", 7, T_OTHER, F_SP | F_BC},
     {"svg", 3, T_OTHER, F_ABS},
-    {"table", 5, T_OTHER, F_SP | F_ABS},
-    {"tbody", 5, T_OTHER, F_SP | F_IGB},
-    {"td", 2, T_OTHER, F_SP | F_IGB},
+    {"table", 5, T_TABLE, F_SP | F_SCOPEB},
+    {"tbody", 5, T_TBTFTH, F_SP | F_IGB},
+    {"td", 2, T_TDTH, F_SP | F_IGB | F_SCOPEB},
     {"template", 8, T_TEMPLATE, F_SP | F_IH | F_ABS},
     {"textarea", 8, T_TEXTAREA, F_SP},
-    {"tfoot", 5, T_OTHER, F_SP | F_IGB},
-    {"th", 2, T_OTHER, F_SP | F_IGB},
-    {"thead", 5, T_OTHER, F_SP | F_IGB},
+    {"tfoot", 5, T_TBTFTH, F_SP | F_IGB},
+    {"th", 2, T_TDTH, F_SP | F_IGB | F_SCOPEB},
+    {"thead", 5, T_TBTFTH, F_SP | F_IGB},
     {"title", 5, T_TITLE, F_SP | F_IH},
-    {"tr", 2, T_OTHER, F_SP | F_IGB},
+    {"tr", 2, T_TR, F_SP | F_IGB},
     {"track", 5, T_PST, F_SP},
     {"tt", 2, T_FMTG, F_FMT},
     {"u", 1, T_FMTG, F_FMT},
@@ -343,6 +353,11 @@ typedef struct {
     int pend_parent;
     int pend_merge;            /* existing TEXT node id to merge into, or -1 */
 
+    int foster;                /* table anything-else delegation: an
+                                * insert whose target is tableish would
+                                * foster-parent (a parse error) => abort */
+    PyObject *tt;              /* pending table text chunks, or NULL */
+
     int aborted;
 } P;
 
@@ -352,6 +367,7 @@ static PyObject *g_decode = NULL;          /* entities.decode_charrefs */
 static PyObject *g_lt_str = NULL;          /* "<" */
 static PyObject *g_empty_str = NULL;       /* "" */
 static PyObject *NM_html, *NM_head, *NM_body, *NM_p, *NM_img, *NM_rtc;
+static PyObject *NM_colgroup, *NM_tbody, *NM_tr, *NM_type;
 
 #define ABORT(p) do { (p)->aborted = 1; return -1; } while (0)
 #define CHECK(x) do { if ((x) < 0) return -1; } while (0)
@@ -439,6 +455,7 @@ static int on_open_stack(P *p, int el)
     return 0;
 }
 
+/* a MARKER entry has name == NULL (caption and td/th push one) */
 static int afe_push_raw(P *p, int el, int tok, PyObject *name, PyObject *attrs)
 {
     if (p->n_afe == p->cap_afe) {
@@ -451,18 +468,35 @@ static int afe_push_raw(P *p, int el, int tok, PyObject *name, PyObject *attrs)
     }
     p->afe[p->n_afe].el = el;
     p->afe[p->n_afe].tok = tok;
-    Py_INCREF(name);
+    Py_XINCREF(name);
     p->afe[p->n_afe].name = name;
-    Py_INCREF(attrs);
+    Py_XINCREF(attrs);
     p->afe[p->n_afe].attrs = attrs;
     p->n_afe++;
     return 0;
 }
 
+static int afe_push_marker(P *p)
+{
+    return afe_push_raw(p, -1, -1, NULL, NULL);
+}
+
+static void afe_clear_to_marker(P *p)
+{
+    while (p->n_afe > 0) {
+        AfeEnt *e = &p->afe[--p->n_afe];
+        int was_marker = (e->name == NULL);
+        Py_XDECREF(e->name);
+        Py_XDECREF(e->attrs);
+        if (was_marker)
+            break;
+    }
+}
+
 static void afe_remove_at(P *p, int i)
 {
-    Py_DECREF(p->afe[i].name);
-    Py_DECREF(p->afe[i].attrs);
+    Py_XDECREF(p->afe[i].name);
+    Py_XDECREF(p->afe[i].attrs);
     memmove(&p->afe[i], &p->afe[i + 1],
             (p->n_afe - i - 1) * sizeof(AfeEnt));
     p->n_afe--;
@@ -494,11 +528,14 @@ static int attrs_equal(PyObject *a, PyObject *b)
     return 1;
 }
 
-/* Noah's Ark (treebuilder._afe_push): at most 3 identical entries */
+/* Noah's Ark (treebuilder._afe_push): at most 3 identical entries
+ * since the last marker */
 static int afe_push_noah(P *p, int el, int tok, PyObject *name, PyObject *attrs)
 {
     int count = 0, i;
     for (i = p->n_afe - 1; i >= 0; i--) {
+        if (p->afe[i].name == NULL)
+            break;
         if (p->afe[i].name == name && attrs_equal(p->afe[i].attrs, attrs)) {
             count++;
             if (count == 3) {
@@ -511,6 +548,9 @@ static int afe_push_noah(P *p, int el, int tok, PyObject *name, PyObject *attrs)
 }
 
 /* ---------------- pending text ---------------- */
+#define TABLEISH(tok) ((tok) == T_TABLE || (tok) == T_TBTFTH || (tok) == T_TR)
+static int cur_top(P *p);
+
 static int flush_text(P *p)
 {
     PyObject *s;
@@ -549,6 +589,9 @@ static int flush_text(P *p)
 /* queue text for insertion-append under parent (current top's target) */
 static int pend_text(P *p, int parent, PyObject *s)
 {
+    if (p->foster && TABLEISH(p->open[p->n_open - 1].tok)
+        && parent == cur_top(p))
+        ABORT(p);  /* fostered character tokens: Python lane */
     if (p->pend != NULL && p->pend_parent != parent)
         CHECK(flush_text(p));
     if (p->pend == NULL) {
@@ -566,7 +609,7 @@ static int pend_text(P *p, int parent, PyObject *s)
 }
 
 /* ---------------- element insertion ---------------- */
-static int cur_top(P *p) { return p->open[p->n_open - 1].id; }
+static int cur_top(P *p) { return p->open[p->n_open - 1].id; }  /* NOLINT */
 
 /* insert + (optionally) push.  Steals nothing; attrs ref borrowed
  * (INCREF'd into the node). */
@@ -574,6 +617,8 @@ static int insert_element(P *p, PyObject *name, PyObject *attrs,
                           int tok, uint16_t flags, int push)
 {
     CNode *el;
+    if (p->foster && TABLEISH(p->open[p->n_open - 1].tok))
+        ABORT(p);  /* foster parenting is a parse error: Python lane */
     CHECK(flush_text(p));
     el = new_node(p, K_ELEMENT);
     if (el == NULL)
@@ -596,11 +641,12 @@ static int reconstruct_afe(P *p)
     int i, j;
     if (p->n_afe == 0)
         return 0;
-    if (on_open_stack(p, p->afe[p->n_afe - 1].el))
+    if (p->afe[p->n_afe - 1].name == NULL
+        || on_open_stack(p, p->afe[p->n_afe - 1].el))
         return 0;
     i = p->n_afe - 1;
     while (i >= 0) {
-        if (on_open_stack(p, p->afe[i].el)) {
+        if (p->afe[i].name == NULL || on_open_stack(p, p->afe[i].el)) {
             i += 1;
             break;
         }
@@ -644,11 +690,10 @@ static int reconstruct_afe(P *p)
 }
 
 /* ---------------- scope checks ----------------
- * In the fast-lane subset no DEFAULT_SCOPE element other than <html>
- * can be on the stack (table/template/caption/applet/marquee/object
- * and all foreign elements abort at their start tag), so scope
- * boundaries reduce to: html (default), +button (button scope),
- * +ol/ul (list-item scope). */
+ * DEFAULT_SCOPE boundaries reachable in the subset carry F_SCOPEB
+ * (html, table, td, th, caption — template/applet/marquee/object and
+ * all foreign elements abort at their start tag); button scope adds
+ * button, list-item scope adds ol/ul, table scope is html/table. */
 static int in_scope_tok(P *p, int tok, int button, int list)
 {
     int i;
@@ -656,7 +701,7 @@ static int in_scope_tok(P *p, int tok, int button, int list)
         OpenEnt *e = &p->open[i];
         if (e->tok == tok)
             return 1;
-        if (e->tok == T_HTML)
+        if (e->flags & F_SCOPEB)
             return 0;
         if (button && e->tok == T_BUTTON)
             return 0;
@@ -673,7 +718,7 @@ static int in_scope_flag(P *p, uint16_t flag)
         OpenEnt *e = &p->open[i];
         if (e->flags & flag)
             return 1;
-        if (e->tok == T_HTML)
+        if (e->flags & F_SCOPEB)
             return 0;
     }
     return 0;
@@ -685,7 +730,34 @@ static int el_in_scope(P *p, int el)
     for (i = p->n_open - 1; i >= 0; i--) {
         if (p->open[i].id == el)
             return 1;
-        if (p->open[i].tok == T_HTML)
+        if (p->open[i].flags & F_SCOPEB)
+            return 0;
+    }
+    return 0;
+}
+
+/* TABLE_SCOPE (html/table/template; template unreachable) */
+static int in_table_scope_tok(P *p, int tok)
+{
+    int i;
+    for (i = p->n_open - 1; i >= 0; i--) {
+        OpenEnt *e = &p->open[i];
+        if (e->tok == tok)
+            return 1;
+        if (e->tok == T_HTML || e->tok == T_TABLE)
+            return 0;
+    }
+    return 0;
+}
+
+static int in_table_scope_name(P *p, PyObject *name)
+{
+    int i;
+    for (i = p->n_open - 1; i >= 0; i--) {
+        OpenEnt *e = &p->open[i];
+        if (NODE(p, e->id)->name == name)
+            return 1;
+        if (e->tok == T_HTML || e->tok == T_TABLE)
             return 0;
     }
     return 0;
@@ -739,6 +811,133 @@ static void close_p(P *p)
     }
 }
 
+/* ---------------- table context helpers ---------------- */
+static void clear_to_table_context(P *p)
+{
+    /* pop until table/template/html (template unreachable) */
+    while (p->n_open > 0) {
+        int t = p->open[p->n_open - 1].tok;
+        if (t == T_TABLE || t == T_HTML)
+            return;
+        p->n_open--;
+    }
+}
+
+static void clear_to_table_body_context(P *p)
+{
+    while (p->n_open > 0) {
+        int t = p->open[p->n_open - 1].tok;
+        if (t == T_TBTFTH || t == T_HTML)
+            return;
+        p->n_open--;
+    }
+}
+
+static void clear_to_row_context(P *p)
+{
+    while (p->n_open > 0) {
+        int t = p->open[p->n_open - 1].tok;
+        if (t == T_TR || t == T_HTML)
+            return;
+        p->n_open--;
+    }
+}
+
+/* treebuilder._reset_mode (document subset; select/template/head-mid-
+ * body unreachable) */
+static void reset_mode(P *p)
+{
+    int i;
+    for (i = p->n_open - 1; i >= 0; i--) {
+        int last = (i == 0);
+        switch (p->open[i].tok) {
+        case T_TDTH:
+            if (!last) {
+                p->mode = M_IN_CELL;
+                return;
+            }
+            break;
+        case T_TR:
+            p->mode = M_IN_ROW;
+            return;
+        case T_TBTFTH:
+            p->mode = M_IN_TABLE_BODY;
+            return;
+        case T_CAPTION:
+            p->mode = M_IN_CAPTION;
+            return;
+        case T_COLGROUP:
+            p->mode = M_IN_COLUMN_GROUP;
+            return;
+        case T_TABLE:
+            p->mode = M_IN_TABLE;
+            return;
+        case T_BODY:
+            p->mode = M_IN_BODY;
+            return;
+        case T_HTML:
+            p->mode = (p->head_id == -1) ? M_BEFORE_HEAD : M_AFTER_HEAD;
+            return;
+        default:
+            break;
+        }
+        if (last) {
+            p->mode = M_IN_BODY;
+            return;
+        }
+    }
+}
+
+/* treebuilder._flush_table_text: all-whitespace pending runs insert
+ * normally; anything else foster-parents (a parse error) => abort */
+static int flush_table_text(P *p)
+{
+    PyObject *s;
+    Py_ssize_t i, n;
+    int kind;
+    const void *data;
+    if (p->tt == NULL) {
+        p->mode = p->original_mode;
+        return 0;
+    }
+    if (PyList_GET_SIZE(p->tt) == 1) {
+        s = PyList_GET_ITEM(p->tt, 0);
+        Py_INCREF(s);
+    } else {
+        s = PyUnicode_Join(g_empty_str, p->tt);
+        if (s == NULL)
+            return -1;
+    }
+    Py_CLEAR(p->tt);
+    n = PyUnicode_GET_LENGTH(s);
+    kind = PyUnicode_KIND(s);
+    data = PyUnicode_DATA(s);
+    for (i = 0; i < n; i++) {
+        Py_UCS4 c = PyUnicode_READ(kind, data, i);
+        if (c != '\t' && c != '\n' && c != '\f' && c != ' ') {
+            Py_DECREF(s);
+            ABORT(p);  /* fostered non-ws table text */
+        }
+    }
+    if (n > 0) {
+        int r = pend_text(p, cur_top(p), s);
+        Py_DECREF(s);
+        CHECK(r);
+    } else {
+        Py_DECREF(s);
+    }
+    p->mode = p->original_mode;
+    return 0;
+}
+
+static void close_cell(P *p)
+{
+    generate_implied(p, NULL);
+    pop_until_tok(p, T_TDTH);
+    afe_clear_to_marker(p);
+    p->mode = M_IN_ROW;
+}
+
 /* treebuilder._add_attrs_if_missing */
 static int add_attrs_if_missing(P *p, int nid, PyObject *attrs)
 {
@@ -767,6 +966,7 @@ static int handle_start(P *p, const NameEnt *ne, PyObject *name,
 static int handle_end(P *p, const NameEnt *ne, PyObject *name);
 static int handle_chars(P *p, PyObject *s);
 static int in_scope_name(P *p, PyObject *name);
+static int in_body_end(P *p, const NameEnt *ne, PyObject *name);
 
 /* synthesize html/head/body (treebuilder._anything_else_to_body) */
 static int synth_to_body(P *p)
@@ -1001,6 +1201,11 @@ static int in_body_start(P *p, const NameEnt *ne, PyObject *name,
         CHECK(el);
         return afe_push_noah(p, el, tok, name, attrs);
     }
+    case T_TABLE:
+        close_p(p);
+        CHECK(insert_element(p, name, attrs, tok, flags, 1));
+        p->mode = M_IN_TABLE;
+        return 0;
     case T_VOIDB:
     case T_BR:
         CHECK(reconstruct_afe(p));
@@ -1091,6 +1296,158 @@ static int in_body_start(P *p, const NameEnt *ne, PyObject *name,
     return 0;
 }
 
+/* ---------------- in-table start/end (treebuilder._in_table_*) ------ */
+static int in_table_start(P *p, const NameEnt *ne, PyObject *name,
+                          PyObject *attrs, int self_closing)
+{
+    int tok = ne ? ne->tok : T_OTHER;
+    int handled;
+    switch (tok) {
+    case T_CAPTION:
+        clear_to_table_context(p);
+        CHECK(afe_push_marker(p));
+        CHECK(insert_element(p, name, attrs, tok, ne->flags, 1));
+        p->mode = M_IN_CAPTION;
+        return 0;
+    case T_COLGROUP:
+        clear_to_table_context(p);
+        CHECK(insert_element(p, name, attrs, tok, ne->flags, 1));
+        p->mode = M_IN_COLUMN_GROUP;
+        return 0;
+    case T_COL: {
+        PyObject *empty = PyList_New(0);
+        int r;
+        if (empty == NULL)
+            return -1;
+        clear_to_table_context(p);
+        r = insert_element(p, NM_colgroup, empty, T_COLGROUP,
+                           F_SP | F_IGB, 1);
+        Py_DECREF(empty);
+        CHECK(r);
+        p->mode = M_IN_COLUMN_GROUP;
+        return handle_start(p, ne, name, attrs, self_closing);
+    }
+    case T_TBTFTH:
+        clear_to_table_context(p);
+        CHECK(insert_element(p, name, attrs, tok, ne->flags, 1));
+        p->mode = M_IN_TABLE_BODY;
+        return 0;
+    case T_TDTH:
+    case T_TR: {
+        PyObject *empty = PyList_New(0);
+        int r;
+        if (empty == NULL)
+            return -1;
+        clear_to_table_context(p);
+        r = insert_element(p, NM_tbody, empty, T_TBTFTH, F_SP | F_IGB, 1);
+        Py_DECREF(empty);
+        CHECK(r);
+        p->mode = M_IN_TABLE_BODY;
+        return handle_start(p, ne, name, attrs, self_closing);
+    }
+    case T_TABLE:
+        if (in_table_scope_tok(p, T_TABLE)) {
+            pop_until_tok(p, T_TABLE);
+            reset_mode(p);
+            return handle_start(p, ne, name, attrs, self_closing);
+        }
+        return 0;
+    case T_STYLE:
+    case T_SCRIPT:
+        return start_in_head(p, ne, name, attrs, self_closing, &handled);
+    case T_TEMPLATE:
+        ABORT(p);
+    case T_INPUT: {
+        /* type=hidden inserts in place; anything else foster-parents */
+        Py_ssize_t k;
+        int hidden = 0;
+        for (k = 0; k < PyList_GET_SIZE(attrs); k++) {
+            PyObject *a = PyList_GET_ITEM(attrs, k);
+            if (PyList_GET_ITEM(a, 1) == NM_type) {
+                PyObject *v = PyList_GET_ITEM(a, 2);
+                if (PyUnicode_GET_LENGTH(v) == 6) {
+                    static const char H[] = "hidden";
+                    int x, m = 1;
+                    for (x = 0; x < 6; x++) {
+                        Py_UCS4 c = PyUnicode_READ_CHAR(v, x);
+                        if (c >= 'A' && c <= 'Z')
+                            c += 32;
+                        if (c != (Py_UCS4)H[x]) {
+                            m = 0;
+                            break;
+                        }
+                    }
+                    hidden = m;
+                }
+                break;
+            }
+        }
+        if (hidden) {
+            CHECK(insert_element(p, name, attrs, tok, ne->flags, 1));
+            p->n_open--;
+            return 0;
+        }
+        break;
+    }
+    case T_FORM:
+        if (p->form_id == -1) {
+            int fid = insert_element(p, name, attrs, tok, ne->flags, 1);
+            CHECK(fid);
+            p->form_id = fid;
+            p->n_open--;
+        }
+        return 0;
+    default:
+        break;
+    }
+    /* anything else: foster-parented in-body processing (a foster
+     * insert is a parse error => insert_element aborts) */
+    {
+        int saved = p->mode, r;
+        p->foster = 1;
+        p->mode = M_IN_BODY;
+        r = in_body_start(p, ne, name, attrs, self_closing);
+        if (p->mode == M_IN_BODY)
+            p->mode = saved;
+        p->foster = 0;
+        return r;
+    }
+}
+
+static int in_table_end(P *p, const NameEnt *ne, PyObject *name)
+{
+    int tok = ne ? ne->tok : T_OTHER;
+    switch (tok) {
+    case T_TABLE:
+        if (in_table_scope_tok(p, T_TABLE)) {
+            pop_until_tok(p, T_TABLE);
+            reset_mode(p);
+        }
+        return 0;
+    case T_BODY:
+    case T_CAPTION:
+    case T_COL:
+    case T_COLGROUP:
+    case T_HTML:
+    case T_TBTFTH:
+    case T_TDTH:
+    case T_TR:
+        return 0;
+    case T_TEMPLATE:
+        return 0;  /* _end_template: noop without a template on stack */
+    default: {
+        int saved = p->mode, r;
+        p->foster = 1;
+        p->mode = M_IN_BODY;
+        r = in_body_end(p, ne, name);
+        if (p->mode == M_IN_BODY)
+            p->mode = saved;
+        p->foster = 0;
+        return r;
+    }
+    }
+}
+
 /* ---------------- start dispatch ---------------- */
 static int handle_start(P *p, const NameEnt *ne, PyObject *name,
                         PyObject *attrs, int self_closing)
@@ -1101,6 +1458,8 @@ static int handle_start(P *p, const NameEnt *ne, PyObject *name,
     p->ignore_lf = 0;
     if (p->done)
         return 0;
+    if (p->mode == M_IN_TABLE_TEXT)
+        CHECK(flush_table_text(p));
 
     switch (p->mode) {
     case M_INITIAL:
@@ -1183,6 +1542,95 @@ static int handle_start(P *p, const NameEnt *ne, PyObject *name,
         return handle_start(p, ne, name, attrs, self_closing);
     case M_IN_BODY:
         return in_body_start(p, ne, name, attrs, self_closing);
+    case M_IN_TABLE:
+        return in_table_start(p, ne, name, attrs, self_closing);
+    case M_IN_CAPTION:
+        if (tok == T_CAPTION || tok == T_COL || tok == T_COLGROUP
+            || tok == T_TBTFTH || tok == T_TDTH || tok == T_TR) {
+            if (in_table_scope_tok(p, T_CAPTION)) {
+                generate_implied(p, NULL);
+                pop_until_tok(p, T_CAPTION);
+                afe_clear_to_marker(p);
+                p->mode = M_IN_TABLE;
+                return handle_start(p, ne, name, attrs, self_closing);
+            }
+            return 0;
+        }
+        return in_body_start(p, ne, name, attrs, self_closing);
+    case M_IN_COLUMN_GROUP:
+        if (tok == T_HTML)
+            return in_body_start(p, ne, name, attrs, self_closing);
+        if (tok == T_COL) {
+            CHECK(insert_element(p, name, attrs, tok, ne->flags, 1));
+            p->n_open--;
+            return 0;
+        }
+        if (tok == T_TEMPLATE)
+            ABORT(p);
+        if (p->open[p->n_open - 1].tok == T_COLGROUP) {
+            p->n_open--;
+            p->mode = M_IN_TABLE;
+            return handle_start(p, ne, name, attrs, self_closing);
+        }
+        return 0;
+    case M_IN_TABLE_BODY:
+        if (tok == T_TR) {
+            clear_to_table_body_context(p);
+            CHECK(insert_element(p, name, attrs, tok, ne->flags, 1));
+            p->mode = M_IN_ROW;
+            return 0;
+        }
+        if (tok == T_TDTH) {
+            PyObject *empty = PyList_New(0);
+            int r;
+            if (empty == NULL)
+                return -1;
+            clear_to_table_body_context(p);
+            r = insert_element(p, NM_tr, empty, T_TR, F_SP | F_IGB, 1);
+            Py_DECREF(empty);
+            CHECK(r);
+            p->mode = M_IN_ROW;
+            return handle_start(p, ne, name, attrs, self_closing);
+        }
+        if (tok == T_CAPTION || tok == T_COL || tok == T_COLGROUP
+            || tok == T_TBTFTH) {
+            if (in_table_scope_tok(p, T_TBTFTH)) {
+                clear_to_table_body_context(p);
+                p->n_open--;
+                p->mode = M_IN_TABLE;
+                return handle_start(p, ne, name, attrs, self_closing);
+            }
+            return 0;
+        }
+        return in_table_start(p, ne, name, attrs, self_closing);
+    case M_IN_ROW:
+        if (tok == T_TDTH) {
+            clear_to_row_context(p);
+            CHECK(insert_element(p, name, attrs, tok, ne->flags, 1));
+            p->mode = M_IN_CELL;
+            return afe_push_marker(p);
+        }
+        if (tok == T_CAPTION || tok == T_COL || tok == T_COLGROUP
+            || tok == T_TBTFTH || tok == T_TR) {
+            if (in_table_scope_tok(p, T_TR)) {
+                clear_to_row_context(p);
+                p->n_open--;
+                p->mode = M_IN_TABLE_BODY;
+                return handle_start(p, ne, name, attrs, self_closing);
+            }
+            return 0;
+        }
+        return in_table_start(p, ne, name, attrs, self_closing);
+    case M_IN_CELL:
+        if (tok == T_CAPTION || tok == T_COL || tok == T_COLGROUP
+            || tok == T_TBTFTH || tok == T_TDTH || tok == T_TR) {
+            if (in_table_scope_tok(p, T_TDTH)) {
+                close_cell(p);
+                return handle_start(p, ne, name, attrs, self_closing);
+            }
+            return 0;
+        }
+        return in_body_start(p, ne, name, attrs, self_closing);
     case M_AFTER_BODY:
     case M_AFTER_AFTER_BODY:
         if (tok == T_HTML)
@@ -1220,12 +1668,19 @@ static int adoption_fast(P *p, int tok, PyObject *name)
     (void)tok;
     if (NODE(p, cur->id)->name == name) {
         int cur_id = cur->id, i, entry = -1, any_cur = 0;
+        /* entry search stops at a marker (Python's backward loop) */
         for (i = p->n_afe - 1; i >= 0; i--) {
-            if (entry == -1 && p->afe[i].name == name)
+            if (p->afe[i].name == NULL)
+                break;
+            if (p->afe[i].name == name) {
                 entry = i;
-            if (p->afe[i].el == cur_id)
-                any_cur = 1;
+                break;
+            }
         }
+        /* the all(e.el != cur_id) check spans the WHOLE list */
+        for (i = 0; i < p->n_afe; i++)
+            if (p->afe[i].name != NULL && p->afe[i].el == cur_id)
+                any_cur = 1;
         if (entry == -1 || !any_cur) {
             p->n_open--;
             return 0;
@@ -1348,6 +1803,8 @@ static int handle_end(P *p, const NameEnt *ne, PyObject *name)
     p->ignore_lf = 0;
     if (p->done)
         return 0;
+    if (p->mode == M_IN_TABLE_TEXT)
+        CHECK(flush_table_text(p));
 
     switch (p->mode) {
     case M_INITIAL:
@@ -1393,6 +1850,127 @@ static int handle_end(P *p, const NameEnt *ne, PyObject *name)
         p->n_open--;
         p->mode = p->original_mode;
         return 0;
+    case M_IN_TABLE:
+        return in_table_end(p, ne, name);
+    case M_IN_CAPTION:
+        if (tok == T_CAPTION) {
+            if (in_table_scope_tok(p, T_CAPTION)) {
+                generate_implied(p, NULL);
+                pop_until_tok(p, T_CAPTION);
+                afe_clear_to_marker(p);
+                p->mode = M_IN_TABLE;
+            }
+            return 0;
+        }
+        if (tok == T_TABLE) {
+            if (in_table_scope_tok(p, T_CAPTION)) {
+                generate_implied(p, NULL);
+                pop_until_tok(p, T_CAPTION);
+                afe_clear_to_marker(p);
+                p->mode = M_IN_TABLE;
+                return handle_end(p, ne, name);
+            }
+            return 0;
+        }
+        if (tok == T_BODY || tok == T_COL || tok == T_COLGROUP
+            || tok == T_HTML || tok == T_TBTFTH || tok == T_TDTH
+            || tok == T_TR)
+            return 0;
+        return in_body_end(p, ne, name);
+    case M_IN_COLUMN_GROUP:
+        if (tok == T_COLGROUP) {
+            if (p->open[p->n_open - 1].tok == T_COLGROUP) {
+                p->n_open--;
+                p->mode = M_IN_TABLE;
+            }
+            return 0;
+        }
+        if (tok == T_COL)
+            return 0;
+        if (tok == T_TEMPLATE)
+            return 0;  /* _end_template noop */
+        if (p->open[p->n_open - 1].tok == T_COLGROUP) {
+            p->n_open--;
+            p->mode = M_IN_TABLE;
+            return handle_end(p, ne, name);
+        }
+        return 0;
+    case M_IN_TABLE_BODY:
+        if (tok == T_TBTFTH) {
+            if (in_table_scope_name(p, name)) {
+                clear_to_table_body_context(p);
+                p->n_open--;
+                p->mode = M_IN_TABLE;
+            }
+            return 0;
+        }
+        if (tok == T_TABLE) {
+            if (in_table_scope_tok(p, T_TBTFTH)) {
+                clear_to_table_body_context(p);
+                p->n_open--;
+                p->mode = M_IN_TABLE;
+                return handle_end(p, ne, name);
+            }
+            return 0;
+        }
+        if (tok == T_BODY || tok == T_CAPTION || tok == T_COL
+            || tok == T_COLGROUP || tok == T_HTML || tok == T_TDTH
+            || tok == T_TR)
+            return 0;
+        return in_table_end(p, ne, name);
+    case M_IN_ROW:
+        if (tok == T_TR) {
+            if (in_table_scope_tok(p, T_TR)) {
+                clear_to_row_context(p);
+                p->n_open--;
+                p->mode = M_IN_TABLE_BODY;
+            }
+            return 0;
+        }
+        if (tok == T_TABLE) {
+            if (in_table_scope_tok(p, T_TR)) {
+                clear_to_row_context(p);
+                p->n_open--;
+                p->mode = M_IN_TABLE_BODY;
+                return handle_end(p, ne, name);
+            }
+            return 0;
+        }
+        if (tok == T_TBTFTH) {
+            if (in_table_scope_name(p, name)
+                && in_table_scope_tok(p, T_TR)) {
+                clear_to_row_context(p);
+                p->n_open--;
+                p->mode = M_IN_TABLE_BODY;
+                return handle_end(p, ne, name);
+            }
+            return 0;
+        }
+        if (tok == T_BODY || tok == T_CAPTION || tok == T_COL
+            || tok == T_COLGROUP || tok == T_HTML || tok == T_TDTH)
+            return 0;
+        return in_table_end(p, ne, name);
+    case M_IN_CELL:
+        if (tok == T_TDTH) {
+            if (in_table_scope_name(p, name)) {
+                generate_implied(p, NULL);
+                pop_until_name(p, name);
+                afe_clear_to_marker(p);
+                p->mode = M_IN_ROW;
+            }
+            return 0;
+        }
+        if (tok == T_BODY || tok == T_CAPTION || tok == T_COL
+            || tok == T_COLGROUP || tok == T_HTML)
+            return 0;
+        if (tok == T_TABLE || tok == T_TBTFTH || tok == T_TR) {
+            if (in_table_scope_name(p, name)) {
+                close_cell(p);
+                return handle_end(p, ne, name);
+            }
+            return 0;
+        }
+        return in_body_end(p, ne, name);
     case M_AFTER_BODY:
         if (tok == T_HTML) {
             p->mode = M_AFTER_AFTER_BODY;
@@ -1447,13 +2025,67 @@ static int handle_chars(P *p, PyObject *s)
         }
     }
     switch (p->mode) {
-    case M_IN_BODY: {
-        /* \x00 never occurs (document pre-screened) */
+    case M_IN_BODY:
+    case M_IN_CAPTION:
+    case M_IN_CELL: {
+        /* \x00 never occurs (document pre-screened); caption/cell
+         * character tokens use the in-body rules */
         CHECK(reconstruct_afe(p));
         return pend_text(p, cur_top(p), s);
     }
     case M_TEXT:
         return pend_text(p, cur_top(p), s);
+    case M_IN_TABLE:
+    case M_IN_TABLE_BODY:
+    case M_IN_ROW:
+        if (TABLEISH(p->open[p->n_open - 1].tok)) {
+            /* pending table character tokens (in-table char rule via
+             * the table-body/row anything-else delegation) */
+            p->tt = PyList_New(0);
+            if (p->tt == NULL)
+                return -1;
+            p->original_mode = p->mode;
+            p->mode = M_IN_TABLE_TEXT;
+            return PyList_Append(p->tt, s);
+        }
+        {
+            /* anything-else: foster-parented in-body processing */
+            int saved = p->mode, r;
+            p->foster = 1;
+            p->mode = M_IN_BODY;
+            r = handle_chars(p, s);
+            p->mode = saved;
+            p->foster = 0;
+            return r;
+        }
+    case M_IN_TABLE_TEXT:
+        return PyList_Append(p->tt, s);
+    case M_IN_COLUMN_GROUP: {
+        Py_ssize_t i = lstrip_ws_index(s);
+        if (i > 0) {
+            PyObject *ws = PyUnicode_Substring(s, 0, i);
+            int r;
+            if (ws == NULL)
+                return -1;
+            r = pend_text(p, cur_top(p), ws);
+            Py_DECREF(ws);
+            CHECK(r);
+        }
+        if (i == n)
+            return 0;
+        if (p->open[p->n_open - 1].tok == T_COLGROUP) {
+            PyObject *rest = PyUnicode_Substring(s, i, n);
+            int r;
+            if (rest == NULL)
+                return -1;
+            p->n_open--;
+            p->mode = M_IN_TABLE;
+            r = handle_chars(p, rest);
+            Py_DECREF(rest);
+            return r;
+        }
+        return 0;
+    }
     case M_INITIAL:
     case M_BEFORE_HTML:
     case M_BEFORE_HEAD: {
@@ -1553,6 +2185,8 @@ static int handle_comment(P *p, PyObject *s)
     p->ignore_lf = 0;
     if (p->done)
         return 0;
+    if (p->mode == M_IN_TABLE_TEXT)
+        CHECK(flush_table_text(p));
     CHECK(flush_text(p));
     c = new_node(p, K_COMMENT);
     if (c == NULL)
@@ -1596,6 +2230,8 @@ static int handle_eof(P *p)
 {
     if (p->done)
         return 0;
+    if (p->mode == M_IN_TABLE_TEXT)
+        CHECK(flush_table_text(p));
     if (p->mode == M_TEXT) {
         CHECK(flush_text(p));
         p->n_open--;
@@ -1620,7 +2256,7 @@ static int in_scope_name(P *p, PyObject *name)
         OpenEnt *e = &p->open[i];
         if (NODE(p, e->id)->name == name)
             return 1;
-        if (e->tok == T_HTML)
+        if (e->flags & F_SCOPEB)
             return 0;
     }
     return 0;
@@ -2184,11 +2820,12 @@ static void p_free(P *p, int decref_nodes)
     PyMem_Free(p->nodes);
     PyMem_Free(p->open);
     for (i = 0; i < p->n_afe; i++) {
-        Py_DECREF(p->afe[i].name);
-        Py_DECREF(p->afe[i].attrs);
+        Py_XDECREF(p->afe[i].name);
+        Py_XDECREF(p->afe[i].attrs);
     }
     PyMem_Free(p->afe);
     Py_XDECREF(p->pend);
+    Py_XDECREF(p->tt);
 }
 
 static PyObject *fl_parse(PyObject *self, PyObject *arg)
@@ -2268,9 +2905,14 @@ static PyObject *fl_setup(PyObject *self, PyObject *args)
         NM_p = intern_name((const uint8_t *)"p", 1);
         NM_img = intern_name((const uint8_t *)"img", 3);
         NM_rtc = intern_name((const uint8_t *)"rtc", 3);
+        NM_colgroup = intern_name((const uint8_t *)"colgroup", 8);
+        NM_tbody = intern_name((const uint8_t *)"tbody", 5);
+        NM_tr = intern_name((const uint8_t *)"tr", 2);
+        NM_type = intern_name((const uint8_t *)"type", 4);
         if (g_lt_str == NULL || g_empty_str == NULL || NM_html == NULL
             || NM_head == NULL || NM_body == NULL || NM_p == NULL
-            || NM_img == NULL || NM_rtc == NULL)
+            || NM_img == NULL || NM_rtc == NULL || NM_colgroup == NULL
+            || NM_tbody == NULL || NM_tr == NULL || NM_type == NULL)
             return NULL;
         Py_INCREF(NM_html);  /* hold refs beyond the cache's */
         Py_INCREF(NM_head);
@@ -2278,6 +2920,10 @@ static PyObject *fl_setup(PyObject *self, PyObject *args)
         Py_INCREF(NM_p);
         Py_INCREF(NM_img);
         Py_INCREF(NM_rtc);
+        Py_INCREF(NM_colgroup);
+        Py_INCREF(NM_tbody);
+        Py_INCREF(NM_tr);
+        Py_INCREF(NM_type);
     }
     Py_RETURN_NONE;
 }

@@ -844,9 +844,16 @@ class TreeBuilder:
                 self._chars(rest)
             # frameset modes ignore non-ws chars
             return
-        if mode == IN_TABLE and self._current().ns == HTML_NS \
+        if mode in (IN_TABLE, IN_TABLE_BODY, IN_ROW) \
+                and self._current().ns == HTML_NS \
                 and self._current().name in ("table", "tbody", "tfoot",
                                              "thead", "tr", "template"):
+            # IN_TABLE_BODY / IN_ROW delegate character tokens to the
+            # in-table rules ("anything else" clause), whose character
+            # rule buffers pending table text whenever the CURRENT node
+            # is table/tbody/tfoot/thead/tr/template — so whitespace
+            # between rows/cells lands inside tbody/tr with no error
+            # (html5ever parity; previously it was foster-parented)
             self.pending_table_text = []
             self.original_mode = self.mode
             self.mode = IN_TABLE_TEXT

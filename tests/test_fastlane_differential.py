@@ -72,6 +72,73 @@ def test_fixture_pages_differential():
             _check(f.read(), label=os.path.basename(p))
 
 
+def test_all_fixture_pages_take_fast_lane():
+    """With table-mode support every shipped real-world fixture page is
+    error-free under the Python machine and must ride the C lane (the
+    212KB rustwiki page and the table-soup hacker_news page included)."""
+    for p in glob.glob(os.path.join(FIXTURES, "*.html")):
+        with open(p, encoding="utf-8", errors="replace") as f:
+            html = f.read()
+        assert _check(html, label=os.path.basename(p)), os.path.basename(p)
+
+
+def test_table_modes_differential():
+    """IN_TABLE / TABLE_BODY / ROW / CELL / CAPTION / COLUMN_GROUP /
+    TABLE_TEXT — whitespace-formatted tables are the common real-web
+    shape and must not abort."""
+    cases = [
+        "<table><tr><td>x</td></tr></table>",
+        "<table>\n<tr>\n<td>x</td>\n</tr>\n</table>",
+        "<table><tbody>\n<tr><td>a</td><td>b</td></tr>\n"
+        "<tr><td>c</td></tr>\n</tbody></table>",
+        "<table>\n  <thead><tr><th>h1</th><th>h2</th></tr></thead>\n"
+        "  <tbody><tr><td>c</td></tr></tbody>\n"
+        "  <tfoot><tr><td>f</td></tr></tfoot>\n</table>",
+        "<table><caption>cap <b>bold</b></caption><tr><td>x</td></tr>"
+        "</table>",
+        "<table><colgroup><col span=2><col></colgroup><tr><td>x</td>"
+        "</tr></table>",
+        "<table><tr><th>h<tr><td>d</table>after",
+        "<p>before<table><tr><td><p>inner<table><tr><td>nested</td>"
+        "</tr></table></td></tr></table>after",
+        "<table><tr><td><ul><li>a<li>b</ul></td><td><b>f</b></td></tr>"
+        "</table>",
+        "<table><form><tr><td><input type=submit></td></tr></form>"
+        "</table>",
+        "<table><input type=hidden name=x><tr><td>y</td></tr></table>",
+        "<table><script>var x=1;</script><tr><td>s</td></tr></table>",
+        "<table><td>implied</table>",
+        "<table><thead><tr><th>a</th></tr><tbody><tr><td>b</td></tr>"
+        "</table>",
+        "<table><tr><td>x<td>y<tr><td>z</table>",
+        "<table><caption><p>para</caption><tr><td>x</td></tr></table>",
+        "<b><table><tr><td>t</td></tr></table></b>tail",
+        "<table></table>",
+    ]
+    for html in cases:
+        assert _check(html), html  # error-free: must NOT abort
+
+
+def test_table_soup_differential():
+    """Deterministic soup over the table alphabet: the C lane either
+    aborts or matches the Python machine arena-exactly."""
+    rng = random.Random(0x7AB1E)
+    atoms = ["<table>", "</table>", "<tr>", "</tr>", "<td>", "</td>",
+             "<th>", "</th>", "<tbody>", "</tbody>", "<thead>",
+             "</thead>", "<tfoot>", "</tfoot>", "<caption>",
+             "</caption>", "<colgroup>", "</colgroup>", "<col>",
+             " ", "\n", "\t", "x", "<b>", "</b>", "<p>", "</p>",
+             "<div>", "</div>", "<li>", "<ul>", "</ul>", "<form>",
+             "</form>", "<input>", "<a href=x>", "</a>", "<script>",
+             "</script>", "<!--", "-->", "&amp;", "<span>", "</span>",
+             "<select>", "<template>", "<svg>", "<math>", "<button>",
+             "</button>"]
+    for trial in range(800):
+        html = "".join(rng.choice(atoms)
+                       for _ in range(rng.randrange(1, 60)))
+        _check(html, label="table soup %d" % trial)
+
+
 def test_synthetic_corpus_no_fallback():
     """Every synthetic crawl page must take the fast lane (this is the
     hot path the lane exists for) and match the Python machine."""
