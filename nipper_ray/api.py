@@ -16,6 +16,7 @@ Trees are transient, UDF-local objects — nothing here touches Ray.
 
 from __future__ import annotations
 
+from .css.lower import get_cprog
 from .css.matcher import CompiledSelector, compile_selector
 from .css.parser import SelectorError
 from .dom import COMMENT, DOCUMENT, ELEMENT, TEXT, Tree
@@ -38,8 +39,28 @@ class Matcher:
 
 def _matches_dfs(tree: Tree, roots, compiled: CompiledSelector,
                  include_node: bool):
-    """Lazy preorder DFS over root list (matcher.rs:86-122): children of
-    matched nodes are still visited; dedup across overlapping roots."""
+    """Preorder DFS over root list (matcher.rs:86-122): children of
+    matched nodes are still visited; dedup across overlapping roots.
+
+    On pure-CNode arenas (C fast-lane parses) with a lowerable selector
+    the whole walk runs in C (html/_fastlane.c fl_select_all), result-
+    identical to the Python DFS below (pinned by
+    tests/test_cselect_differential.py)."""
+    prog = get_cprog(compiled)
+    if prog is not None:
+        from .html.fastlane import get
+
+        mod = get()
+        if mod is not None:
+            res = mod.select_all(tree.nodes, (prog,), roots,
+                                 include_node)
+            if res is not None:
+                return res[0]
+    return _matches_dfs_py(tree, roots, compiled, include_node)
+
+
+def _matches_dfs_py(tree: Tree, roots, compiled: CompiledSelector,
+                    include_node: bool):
     seen = set()
     out = []
     nodes = tree.nodes

@@ -34,6 +34,30 @@ HTML_NS = "html"
 SVG_NS = "svg"
 MATHML_NS = "mathml"
 
+# C fast path for Tree.text over CNode arenas (html/_fastlane.c fl_text;
+# returns None on mixed/Python arenas and the Python DFS runs instead)
+_CTEXT = None
+_CTEXT_TRIED = False
+
+
+def _c_text_fn():
+    global _CTEXT, _CTEXT_TRIED
+    if not _CTEXT_TRIED:
+        _CTEXT_TRIED = True
+        import os
+
+        if not os.environ.get("NIPPER_RAY_NO_CSELECT"):
+            try:
+                from .html.fastlane import get
+
+                mod = get()
+                if mod is not None:
+                    _CTEXT = mod.text
+            except Exception:
+                _CTEXT = None
+    return _CTEXT
+
+
 # void elements: html5ever serializer emits no end tag for these
 VOID_ELEMENTS = frozenset(
     "area base basefont bgsound br col embed frame hr img input keygen link "
@@ -249,6 +273,14 @@ class Tree:
 
     # -- text (reference: dom_tree.rs:928-951) ----------------------------
     def text(self, nid: int) -> str:
+        ctext = _c_text_fn()
+        if ctext is not None:
+            r = ctext(self.nodes, nid)
+            if r is not None:
+                return r
+        return self._text_py(nid)
+
+    def _text_py(self, nid: int) -> str:
         nodes = self.nodes
         out = []
         stack = [nid]

@@ -2810,6 +2810,864 @@ static int run_scanner(P *p)
     return handle_eof(p);
 }
 
+/* ============ CSS selector engine over CNode arenas ============
+ *
+ * Mirrors css/matcher.py exactly (itself faithful to the selectors-0.22
+ * behavior bound by the reference Element impl, element.rs:13-218).
+ * css/lower.py lowers a parsed selector AST to a flat IR;
+ * compile_program() turns the IR into malloc'd structs held by a
+ * capsule; select_all() then runs the preorder DFS of
+ * stages/extract._select_all and api._matches_dfs in one C pass, and
+ * text() is dom.Tree.text.  Any non-CNode in the arena (Python-created
+ * nodes after DOM mutation, unpickled trees) => None return, the caller
+ * falls back to the Python engine.
+ */
+
+static PyObject *NM_id_attr = NULL, *NM_class_attr = NULL,
+                *NM_link_el = NULL;
+
+typedef struct SComplex SComplex;
+
+typedef struct {
+    int kind;      /* 0 univ 1 type 2 #id 3 .class 4 [attr] 5 pseudo
+                      6 nth 7 :not */
+    int op;        /* attr op (0 presence .. 6 '*=', 7 never) / pseudo
+                      code */
+    int ci, a, b, flags;
+    PyObject *s1, *s2, *val, *aux;  /* borrowed: program holds IR ref */
+    SComplex *sub;                  /* :not selector list */
+    int n_sub;
+} SSimple;
+
+typedef struct { SSimple *s; int n; } SCompound;
+typedef struct { int comb; SCompound comp; } SPart;
+struct SComplex { SPart *parts; int n; };
+
+typedef struct {
+    SComplex *sels; int n;
+    PyObject **fast; int n_fast;    /* borrowed interned names */
+    PyObject *ir;                   /* strong ref keeps strings alive */
+} SProgram;
+
+static void sel_free_complexes(SComplex *cs, int n);
+
+static void sel_free_compound(SCompound *c)
+{
+    int i;
+    if (c->s == NULL)
+        return;
+    for (i = 0; i < c->n; i++)
+        if (c->s[i].sub != NULL)
+            sel_free_complexes(c->s[i].sub, c->s[i].n_sub);
+    PyMem_Free(c->s);
+}
+
+static void sel_free_complexes(SComplex *cs, int n)
+{
+    int i, j;
+    if (cs == NULL)
+        return;
+    for (i = 0; i < n; i++) {
+        if (cs[i].parts == NULL)
+            continue;
+        for (j = 0; j < cs[i].n; j++)
+            sel_free_compound(&cs[i].parts[j].comp);
+        PyMem_Free(cs[i].parts);
+    }
+    PyMem_Free(cs);
+}
+
+static void sel_free_program(SProgram *p)
+{
+    if (p == NULL)
+        return;
+    sel_free_complexes(p->sels, p->n);
+    PyMem_Free(p->fast);
+    Py_XDECREF(p->ir);
+    PyMem_Free(p);
+}
+
+static void sprog_capsule_destroy(PyObject *capsule)
+{
+    SProgram *p = (SProgram *)PyCapsule_GetPointer(
+        capsule, "nr_fastlane.SProgram");
+    if (p != NULL)
+        sel_free_program(p);
+}
+
+static int sel_build_complexes(PyObject *tup, SComplex **out, int *n_out);
+
+static int sel_build_compound(PyObject *tup, SCompound *c)
+{
+    Py_ssize_t n, i;
+    if (!PyTuple_Check(tup))
+        goto bad;
+    n = PyTuple_GET_SIZE(tup);
+    c->s = PyMem_Calloc(n ? n : 1, sizeof(SSimple));
+    if (c->s == NULL) {
+        PyErr_NoMemory();
+        return -1;
+    }
+    c->n = (int)n;
+    for (i = 0; i < n; i++) {
+        PyObject *row = PyTuple_GET_ITEM(tup, i);
+        SSimple *s = &c->s[i];
+        Py_ssize_t rn;
+        long kind;
+        if (!PyTuple_Check(row) || PyTuple_GET_SIZE(row) < 1)
+            goto bad;
+        rn = PyTuple_GET_SIZE(row);
+        kind = PyLong_AsLong(PyTuple_GET_ITEM(row, 0));
+        if (kind == -1 && PyErr_Occurred())
+            return -1;
+        s->kind = (int)kind;
+        switch (kind) {
+        case 0:
+            break;
+        case 1:
+            if (rn < 3) goto bad;
+            s->s1 = PyTuple_GET_ITEM(row, 1);
+            s->s2 = PyTuple_GET_ITEM(row, 2);
+            break;
+        case 2:
+        case 3:
+            if (rn < 2) goto bad;
+            s->s1 = PyTuple_GET_ITEM(row, 1);
+            break;
+        case 4:
+            if (rn < 7) goto bad;
+            s->s1 = PyTuple_GET_ITEM(row, 1);
+            s->s2 = PyTuple_GET_ITEM(row, 2);
+            s->op = (int)PyLong_AsLong(PyTuple_GET_ITEM(row, 3));
+            s->val = PyTuple_GET_ITEM(row, 4);
+            s->aux = PyTuple_GET_ITEM(row, 5);
+            s->ci = (int)PyLong_AsLong(PyTuple_GET_ITEM(row, 6));
+            break;
+        case 5:
+            if (rn < 2) goto bad;
+            s->op = (int)PyLong_AsLong(PyTuple_GET_ITEM(row, 1));
+            break;
+        case 6:
+            if (rn < 4) goto bad;
+            s->flags = (int)PyLong_AsLong(PyTuple_GET_ITEM(row, 1));
+            s->a = (int)PyLong_AsLong(PyTuple_GET_ITEM(row, 2));
+            s->b = (int)PyLong_AsLong(PyTuple_GET_ITEM(row, 3));
+            break;
+        case 7:
+            if (rn < 2) goto bad;
+            if (sel_build_complexes(PyTuple_GET_ITEM(row, 1),
+                                    &s->sub, &s->n_sub) < 0)
+                return -1;
+            break;
+        default:
+            goto bad;
+        }
+        if (PyErr_Occurred())
+            return -1;
+    }
+    return 0;
+bad:
+    PyErr_SetString(PyExc_ValueError, "bad selector IR");
+    return -1;
+}
+
+static int sel_build_complexes(PyObject *tup, SComplex **out, int *n_out)
+{
+    Py_ssize_t n, i, j;
+    SComplex *cs;
+    if (!PyTuple_Check(tup)) {
+        PyErr_SetString(PyExc_ValueError, "bad selector IR");
+        return -1;
+    }
+    n = PyTuple_GET_SIZE(tup);
+    cs = PyMem_Calloc(n ? n : 1, sizeof(SComplex));
+    if (cs == NULL) {
+        PyErr_NoMemory();
+        return -1;
+    }
+    *out = cs;          /* set early: caller frees on error */
+    *n_out = (int)n;
+    for (i = 0; i < n; i++) {
+        PyObject *cx = PyTuple_GET_ITEM(tup, i);
+        Py_ssize_t np;
+        if (!PyTuple_Check(cx)) {
+            PyErr_SetString(PyExc_ValueError, "bad selector IR");
+            return -1;
+        }
+        np = PyTuple_GET_SIZE(cx);
+        cs[i].parts = PyMem_Calloc(np ? np : 1, sizeof(SPart));
+        if (cs[i].parts == NULL) {
+            PyErr_NoMemory();
+            return -1;
+        }
+        cs[i].n = (int)np;
+        for (j = 0; j < np; j++) {
+            PyObject *part = PyTuple_GET_ITEM(cx, j);
+            if (!PyTuple_Check(part) || PyTuple_GET_SIZE(part) < 2) {
+                PyErr_SetString(PyExc_ValueError, "bad selector IR");
+                return -1;
+            }
+            cs[i].parts[j].comb =
+                (int)PyLong_AsLong(PyTuple_GET_ITEM(part, 0));
+            if (PyErr_Occurred())
+                return -1;
+            if (sel_build_compound(PyTuple_GET_ITEM(part, 1),
+                                   &cs[i].parts[j].comp) < 0)
+                return -1;
+        }
+    }
+    return 0;
+}
+
+static PyObject *fl_compile_program(PyObject *self, PyObject *arg)
+{
+    SProgram *p;
+    PyObject *sels, *fast, *cap;
+    (void)self;
+    if (!PyTuple_Check(arg) || PyTuple_GET_SIZE(arg) != 2) {
+        PyErr_SetString(PyExc_ValueError, "bad selector IR");
+        return NULL;
+    }
+    sels = PyTuple_GET_ITEM(arg, 0);
+    fast = PyTuple_GET_ITEM(arg, 1);
+    p = PyMem_Calloc(1, sizeof(SProgram));
+    if (p == NULL)
+        return PyErr_NoMemory();
+    Py_INCREF(arg);
+    p->ir = arg;
+    if (sel_build_complexes(sels, &p->sels, &p->n) < 0)
+        goto fail;
+    if (fast != Py_None) {
+        Py_ssize_t nf, i;
+        if (!PyTuple_Check(fast)) {
+            PyErr_SetString(PyExc_ValueError, "bad selector IR");
+            goto fail;
+        }
+        nf = PyTuple_GET_SIZE(fast);
+        p->fast = PyMem_Calloc(nf ? nf : 1, sizeof(PyObject *));
+        if (p->fast == NULL) {
+            PyErr_NoMemory();
+            goto fail;
+        }
+        p->n_fast = (int)nf;
+        for (i = 0; i < nf; i++)
+            p->fast[i] = PyTuple_GET_ITEM(fast, i);
+    }
+    cap = PyCapsule_New(p, "nr_fastlane.SProgram", sprog_capsule_destroy);
+    if (cap == NULL)
+        goto fail;
+    return cap;
+fail:
+    sel_free_program(p);
+    return NULL;
+}
+
+/* --------- matching (mirrors css/matcher.py line for line) --------- */
+
+static int ueq(PyObject *a, PyObject *b)
+{
+    if (a == b)
+        return 1;
+    if (a == NULL || b == NULL)
+        return 0;
+    if (!PyUnicode_Check(a) || !PyUnicode_Check(b))
+        return 0;
+    return PyUnicode_Compare(a, b) == 0;
+}
+
+static int sel_is_html(CNode *n)
+{
+    return n->ns == g_html_ns || ueq(n->ns, g_html_ns);
+}
+
+/* attr entry accessors tolerant of [ns,name,value] lists or tuples */
+static int sel_attr_entry(PyObject *a, PyObject **name, PyObject **value)
+{
+    if (PyList_Check(a) && PyList_GET_SIZE(a) >= 3) {
+        *name = PyList_GET_ITEM(a, 1);
+        *value = PyList_GET_ITEM(a, 2);
+        return 1;
+    }
+    if (PyTuple_Check(a) && PyTuple_GET_SIZE(a) >= 3) {
+        *name = PyTuple_GET_ITEM(a, 1);
+        *value = PyTuple_GET_ITEM(a, 2);
+        return 1;
+    }
+    return 0;
+}
+
+/* value of the FIRST attr named *want* (matcher.py break-on-name) */
+static PyObject *sel_attr_first(CNode *n, PyObject *want)
+{
+    PyObject *attrs = n->attrs;
+    Py_ssize_t i, len;
+    if (attrs == NULL || !PyList_Check(attrs))
+        return NULL;
+    len = PyList_GET_SIZE(attrs);
+    for (i = 0; i < len; i++) {
+        PyObject *an, *av;
+        if (!sel_attr_entry(PyList_GET_ITEM(attrs, i), &an, &av))
+            continue;
+        if (ueq(an, want))
+            return av;
+    }
+    return NULL;
+}
+
+/* #id: ANY attr named id with the value (matcher.py loops past
+ * non-matching values) */
+static int sel_match_id(CNode *n, PyObject *value)
+{
+    PyObject *attrs = n->attrs;
+    Py_ssize_t i, len;
+    if (attrs == NULL || !PyList_Check(attrs))
+        return 0;
+    len = PyList_GET_SIZE(attrs);
+    for (i = 0; i < len; i++) {
+        PyObject *an, *av;
+        if (!sel_attr_entry(PyList_GET_ITEM(attrs, i), &an, &av))
+            continue;
+        if (ueq(an, NM_id_attr) && ueq(av, value))
+            return 1;
+    }
+    return 0;
+}
+
+/* Python str.split() whitespace in the ASCII range */
+#define IS_PYSPACE(c) \
+    ((c) == ' ' || ((c) >= 0x09 && (c) <= 0x0d) \
+     || ((c) >= 0x1c && (c) <= 0x1f))
+
+static int sel_ws_contains_slow(PyObject *val, PyObject *target)
+{
+    PyObject *list = PyUnicode_Split(val, NULL, -1);
+    Py_ssize_t i, n;
+    int found = 0;
+    if (list == NULL)
+        return -1;
+    n = PyList_GET_SIZE(list);
+    for (i = 0; i < n; i++)
+        if (ueq(PyList_GET_ITEM(list, i), target)) {
+            found = 1;
+            break;
+        }
+    Py_DECREF(list);
+    return found;
+}
+
+/* target in val.split() */
+static int sel_ws_contains(PyObject *val, PyObject *target)
+{
+    if (PyUnicode_IS_ASCII(val) && PyUnicode_IS_ASCII(target)) {
+        const uint8_t *v = PyUnicode_1BYTE_DATA(val);
+        const uint8_t *t = PyUnicode_1BYTE_DATA(target);
+        Py_ssize_t vl = PyUnicode_GET_LENGTH(val);
+        Py_ssize_t tl = PyUnicode_GET_LENGTH(target);
+        Py_ssize_t i = 0;
+        if (tl == 0)
+            return 0;   /* split() never yields "" */
+        while (i < vl) {
+            Py_ssize_t start;
+            while (i < vl && IS_PYSPACE(v[i]))
+                i++;
+            start = i;
+            while (i < vl && !IS_PYSPACE(v[i]))
+                i++;
+            if (i - start == tl && memcmp(v + start, t, tl) == 0)
+                return 1;
+        }
+        return 0;
+    }
+    return sel_ws_contains_slow(val, target);
+}
+
+static int sel_attr_op(PyObject *actual, SSimple *s)
+{
+    Py_ssize_t r;
+    switch (s->op) {
+    case 1:
+        return ueq(actual, s->val);
+    case 2:
+        return sel_ws_contains(actual, s->val);
+    case 3:
+        if (ueq(actual, s->val))
+            return 1;
+        r = PyUnicode_Tailmatch(actual, s->aux, 0, PY_SSIZE_T_MAX, -1);
+        return r < 0 ? -1 : (int)r;
+    case 4:
+        r = PyUnicode_Tailmatch(actual, s->val, 0, PY_SSIZE_T_MAX, -1);
+        return r < 0 ? -1 : (int)r;
+    case 5:
+        r = PyUnicode_Tailmatch(actual, s->val, 0, PY_SSIZE_T_MAX, 1);
+        return r < 0 ? -1 : (int)r;
+    case 6:
+        return PyUnicode_Contains(actual, s->val);  /* -1 on error */
+    }
+    return 0;
+}
+
+static int sel_match_attr(CNode *n, SSimple *s)
+{
+    PyObject *want, *actual;
+    int r;
+    if (n->kind != K_ELEMENT)
+        return 0;
+    want = sel_is_html(n) ? s->s2 : s->s1;
+    actual = sel_attr_first(n, want);   /* borrowed */
+    if (actual == NULL)
+        return 0;
+    if (s->op == 0)
+        return 1;
+    if (s->op == 7)
+        return 0;   /* precomputed never-matches */
+    if (!PyUnicode_Check(actual))
+        return 0;
+    if (s->ci) {
+        PyObject *low = PyObject_CallMethod(actual, "lower", NULL);
+        if (low == NULL)
+            return -1;
+        r = sel_attr_op(low, s);
+        Py_DECREF(low);
+        return r;
+    }
+    return sel_attr_op(actual, s);
+}
+
+static int sel_prev_elem(PyObject *nodes, int nid)
+{
+    int s = ((CNode *)PyList_GET_ITEM(nodes, nid))->prev;
+    while (s != -1) {
+        CNode *sn = (CNode *)PyList_GET_ITEM(nodes, s);
+        if (sn->kind == K_ELEMENT)
+            return s;
+        s = sn->prev;
+    }
+    return -1;
+}
+
+static int sel_next_elem(PyObject *nodes, int nid)
+{
+    int s = ((CNode *)PyList_GET_ITEM(nodes, nid))->next;
+    while (s != -1) {
+        CNode *sn = (CNode *)PyList_GET_ITEM(nodes, s);
+        if (sn->kind == K_ELEMENT)
+            return s;
+        s = sn->next;
+    }
+    return -1;
+}
+
+static int sel_nth_index(PyObject *nodes, int nid, CNode *n,
+                         int of_type, int from_end)
+{
+    int idx = 1;
+    int sib = from_end ? sel_next_elem(nodes, nid)
+                       : sel_prev_elem(nodes, nid);
+    while (sib != -1) {
+        if (!of_type)
+            idx++;
+        else {
+            CNode *s = (CNode *)PyList_GET_ITEM(nodes, sib);
+            if (n->kind == K_ELEMENT && s->kind == K_ELEMENT
+                && ueq(s->name, n->name) && ueq(s->ns, n->ns))
+                idx++;
+        }
+        sib = from_end ? sel_next_elem(nodes, sib)
+                       : sel_prev_elem(nodes, sib);
+    }
+    return idx;
+}
+
+static int sel_match_pseudo(PyObject *nodes, int nid, CNode *n, int code)
+{
+    switch (code) {
+    case 0:   /* :link / :any-link — the is_link() local-name quirk */
+        return n->kind == K_ELEMENT && ueq(n->name, NM_link_el);
+    case 1:   /* :visited never matches */
+        return 0;
+    case 2:   /* :root / :scope match the Document node */
+        return n->kind == K_DOCUMENT;
+    case 3: { /* :empty — no element or text children */
+        int c = n->first_child;
+        while (c != -1) {
+            CNode *cd = (CNode *)PyList_GET_ITEM(nodes, c);
+            if (cd->kind == K_ELEMENT || cd->kind == K_TEXT)
+                return 0;
+            c = cd->next;
+        }
+        return 1;
+    }
+    case 4:
+        return sel_prev_elem(nodes, nid) == -1;
+    case 5:
+        return sel_next_elem(nodes, nid) == -1;
+    case 6:
+        return sel_prev_elem(nodes, nid) == -1
+            && sel_next_elem(nodes, nid) == -1;
+    case 7:
+        return sel_nth_index(nodes, nid, n, 1, 0) == 1;
+    case 8:
+        return sel_nth_index(nodes, nid, n, 1, 1) == 1;
+    case 9:
+        return sel_nth_index(nodes, nid, n, 1, 0) == 1
+            && sel_nth_index(nodes, nid, n, 1, 1) == 1;
+    }
+    return 0;
+}
+
+static int sel_match_complexes(PyObject *nodes, int nid,
+                               SComplex *cs, int n);
+
+static int sel_match_compound(PyObject *nodes, int nid, SCompound *c)
+{
+    CNode *n = (CNode *)PyList_GET_ITEM(nodes, nid);
+    int i, r;
+    for (i = 0; i < c->n; i++) {
+        SSimple *s = &c->s[i];
+        switch (s->kind) {
+        case 0:
+            break;
+        case 1:
+            if (n->kind != K_ELEMENT)
+                return 0;
+            if (!ueq(n->name, sel_is_html(n) ? s->s2 : s->s1))
+                return 0;
+            break;
+        case 2:
+            if (n->kind != K_ELEMENT || !sel_match_id(n, s->s1))
+                return 0;
+            break;
+        case 3: {
+            PyObject *val;
+            if (n->kind != K_ELEMENT)
+                return 0;
+            val = sel_attr_first(n, NM_class_attr);
+            if (val == NULL || !PyUnicode_Check(val))
+                return 0;
+            r = sel_ws_contains(val, s->s1);
+            if (r <= 0)
+                return r;
+            break;
+        }
+        case 4:
+            r = sel_match_attr(n, s);
+            if (r <= 0)
+                return r;
+            break;
+        case 5:
+            r = sel_match_pseudo(nodes, nid, n, s->op);
+            if (r <= 0)
+                return r;
+            break;
+        case 6: {
+            int idx, d;
+            int of_type = s->flags & 1, from_end = s->flags & 2;
+            if (of_type && n->kind != K_ELEMENT)
+                idx = 1;
+            else
+                idx = sel_nth_index(nodes, nid, n, of_type, from_end);
+            if (s->a == 0) {
+                if (idx != s->b)
+                    return 0;
+            } else {
+                d = idx - s->b;
+                if (s->a > 0) {
+                    if (!(d >= 0 && d % s->a == 0))
+                        return 0;
+                } else {
+                    if (!(d <= 0 && (-d) % (-s->a) == 0))
+                        return 0;
+                }
+            }
+            break;
+        }
+        case 7:
+            r = sel_match_complexes(nodes, nid, s->sub, s->n_sub);
+            if (r < 0)
+                return -1;
+            if (r)
+                return 0;
+            break;
+        }
+    }
+    return 1;
+}
+
+static int sel_match_parts(PyObject *nodes, int nid, SComplex *cx, int idx)
+{
+    int r = sel_match_compound(nodes, nid, &cx->parts[idx].comp);
+    int comb;
+    if (r <= 0)
+        return r;
+    if (idx == 0)
+        return 1;
+    comb = cx->parts[idx].comb;
+    if (comb == 2) {        /* > */
+        int parent = ((CNode *)PyList_GET_ITEM(nodes, nid))->parent;
+        if (parent == -1)
+            return 0;
+        return sel_match_parts(nodes, parent, cx, idx - 1);
+    }
+    if (comb == 1) {        /* descendant */
+        int parent = ((CNode *)PyList_GET_ITEM(nodes, nid))->parent;
+        while (parent != -1) {
+            r = sel_match_parts(nodes, parent, cx, idx - 1);
+            if (r != 0)
+                return r;
+            parent = ((CNode *)PyList_GET_ITEM(nodes, parent))->parent;
+        }
+        return 0;
+    }
+    if (comb == 3) {        /* + */
+        int sib = sel_prev_elem(nodes, nid);
+        if (sib == -1)
+            return 0;
+        return sel_match_parts(nodes, sib, cx, idx - 1);
+    }
+    if (comb == 4) {        /* ~ */
+        int sib = sel_prev_elem(nodes, nid);
+        while (sib != -1) {
+            r = sel_match_parts(nodes, sib, cx, idx - 1);
+            if (r != 0)
+                return r;
+            sib = sel_prev_elem(nodes, sib);
+        }
+        return 0;
+    }
+    return 0;
+}
+
+static int sel_match_complexes(PyObject *nodes, int nid,
+                               SComplex *cs, int n)
+{
+    int i, r;
+    for (i = 0; i < n; i++) {
+        r = sel_match_parts(nodes, nid, &cs[i], cs[i].n - 1);
+        if (r != 0)
+            return r;   /* matched or error */
+    }
+    return 0;
+}
+
+static int sel_match_program(PyObject *nodes, int nid, SProgram *p)
+{
+    if (p->n_fast > 0) {
+        CNode *n = (CNode *)PyList_GET_ITEM(nodes, nid);
+        int i, hit = 0;
+        if (n->kind != K_ELEMENT)
+            return 0;
+        for (i = 0; i < p->n_fast; i++)
+            if (ueq(n->name, p->fast[i])) {
+                hit = 1;
+                break;
+            }
+        if (!hit)
+            return 0;
+    }
+    return sel_match_complexes(nodes, nid, p->sels, p->n);
+}
+
+static PyObject *fl_select_all(PyObject *self, PyObject *args)
+{
+    PyObject *nodes, *progs_in, *roots_in;
+    PyObject *progs = NULL, *roots = NULL, *results = NULL;
+    int include_node;
+    Py_ssize_t N, K, R, i, k, ri;
+    SProgram **P = NULL;
+    int *stack = NULL;
+    uint8_t *seen = NULL;
+    int fallback = 0;
+    (void)self;
+    if (!PyArg_ParseTuple(args, "O!OOp", &PyList_Type, &nodes,
+                          &progs_in, &roots_in, &include_node))
+        return NULL;
+    N = PyList_GET_SIZE(nodes);
+    for (i = 0; i < N; i++)
+        if (Py_TYPE(PyList_GET_ITEM(nodes, i)) != &CNodeType)
+            Py_RETURN_NONE;
+    if (N == 0)
+        Py_RETURN_NONE;
+    progs = PySequence_Fast(progs_in, "programs must be a sequence");
+    if (progs == NULL)
+        return NULL;
+    roots = PySequence_Fast(roots_in, "roots must be a sequence");
+    if (roots == NULL) {
+        Py_DECREF(progs);
+        return NULL;
+    }
+    K = PySequence_Fast_GET_SIZE(progs);
+    R = PySequence_Fast_GET_SIZE(roots);
+    P = PyMem_Malloc((K ? K : 1) * sizeof(SProgram *));
+    if (P == NULL) {
+        PyErr_NoMemory();
+        goto fail;
+    }
+    for (k = 0; k < K; k++) {
+        P[k] = PyCapsule_GetPointer(PySequence_Fast_GET_ITEM(progs, k),
+                                    "nr_fastlane.SProgram");
+        if (P[k] == NULL)
+            goto fail;
+    }
+    results = PyList_New(K);
+    if (results == NULL)
+        goto fail;
+    for (k = 0; k < K; k++) {
+        PyObject *lst = PyList_New(0);
+        if (lst == NULL)
+            goto fail;
+        PyList_SET_ITEM(results, k, lst);
+    }
+    stack = PyMem_Malloc((N + 1) * sizeof(int));
+    if (stack == NULL) {
+        PyErr_NoMemory();
+        goto fail;
+    }
+    if (R > 1) {
+        seen = PyMem_Calloc((size_t)(K ? K : 1) * (size_t)N, 1);
+        if (seen == NULL) {
+            PyErr_NoMemory();
+            goto fail;
+        }
+    }
+    for (ri = 0; ri < R; ri++) {
+        long root = PyLong_AsLong(PySequence_Fast_GET_ITEM(roots, ri));
+        Py_ssize_t sp = 0;
+        if (root == -1 && PyErr_Occurred())
+            goto fail;
+        if (root < 0 || root >= N) {
+            PyErr_SetString(PyExc_IndexError, "root out of range");
+            goto fail;
+        }
+        if (include_node) {
+            stack[sp++] = (int)root;
+        } else {
+            int c = ((CNode *)PyList_GET_ITEM(nodes, root))->last_child;
+            while (c != -1) {
+                if ((unsigned)c >= (unsigned)N || sp >= N) {
+                    fallback = 1;
+                    goto done;
+                }
+                stack[sp++] = c;
+                c = ((CNode *)PyList_GET_ITEM(nodes, c))->prev;
+            }
+        }
+        while (sp > 0) {
+            int nid = stack[--sp];
+            CNode *n = (CNode *)PyList_GET_ITEM(nodes, nid);
+            int c = n->last_child;
+            while (c != -1) {
+                if ((unsigned)c >= (unsigned)N || sp >= N) {
+                    fallback = 1;   /* corrupt links: Python decides */
+                    goto done;
+                }
+                stack[sp++] = c;
+                c = ((CNode *)PyList_GET_ITEM(nodes, c))->prev;
+            }
+            for (k = 0; k < K; k++) {
+                int r;
+                if (seen != NULL && seen[k * N + nid])
+                    continue;
+                r = sel_match_program(nodes, nid, P[k]);
+                if (r < 0)
+                    goto fail;
+                if (r) {
+                    PyObject *num;
+                    if (seen != NULL)
+                        seen[k * N + nid] = 1;
+                    num = PyLong_FromLong(nid);
+                    if (num == NULL)
+                        goto fail;
+                    if (PyList_Append(PyList_GET_ITEM(results, k),
+                                      num) < 0) {
+                        Py_DECREF(num);
+                        goto fail;
+                    }
+                    Py_DECREF(num);
+                }
+            }
+        }
+    }
+done:
+    PyMem_Free(P);
+    PyMem_Free(stack);
+    PyMem_Free(seen);
+    Py_DECREF(progs);
+    Py_DECREF(roots);
+    if (fallback) {
+        Py_DECREF(results);
+        Py_RETURN_NONE;
+    }
+    return results;
+fail:
+    PyMem_Free(P);
+    PyMem_Free(stack);
+    PyMem_Free(seen);
+    Py_XDECREF(progs);
+    Py_XDECREF(roots);
+    Py_XDECREF(results);
+    return NULL;
+}
+
+static PyObject *fl_text(PyObject *self, PyObject *args)
+{
+    PyObject *nodes, *parts = NULL, *res;
+    int nid;
+    Py_ssize_t N, sp = 0;
+    int *stack = NULL;
+    (void)self;
+    if (!PyArg_ParseTuple(args, "O!i", &PyList_Type, &nodes, &nid))
+        return NULL;
+    N = PyList_GET_SIZE(nodes);
+    if (nid < 0 || nid >= N)
+        Py_RETURN_NONE;     /* fall back: Python raises its own error */
+    stack = PyMem_Malloc((N + 1) * sizeof(int));
+    if (stack == NULL)
+        return PyErr_NoMemory();
+    parts = PyList_New(0);
+    if (parts == NULL) {
+        PyMem_Free(stack);
+        return NULL;
+    }
+    stack[sp++] = nid;
+    while (sp > 0) {
+        int cur = stack[--sp];
+        PyObject *o = PyList_GET_ITEM(nodes, cur);
+        CNode *n;
+        if (Py_TYPE(o) != &CNodeType)
+            goto fallback;
+        n = (CNode *)o;
+        if (n->kind == K_ELEMENT) {
+            int c = n->last_child;
+            while (c != -1) {
+                PyObject *co;
+                if ((unsigned)c >= (unsigned)N || sp >= N)
+                    goto fallback;
+                stack[sp++] = c;
+                co = PyList_GET_ITEM(nodes, c);
+                if (Py_TYPE(co) != &CNodeType)
+                    goto fallback;
+                c = ((CNode *)co)->prev;
+            }
+        } else if (n->kind == K_TEXT) {
+            if (n->data == NULL || !PyUnicode_Check(n->data))
+                goto fallback;
+            if (PyList_Append(parts, n->data) < 0) {
+                PyMem_Free(stack);
+                Py_DECREF(parts);
+                return NULL;
+            }
+        }
+    }
+    PyMem_Free(stack);
+    res = PyUnicode_Join(g_empty_str, parts);
+    Py_DECREF(parts);
+    return res;
+fallback:
+    PyMem_Free(stack);
+    Py_DECREF(parts);
+    Py_RETURN_NONE;
+}
+
 /* ---------------- entry points ---------------- */
 static void p_free(P *p, int decref_nodes)
 {
@@ -2909,6 +3767,15 @@ static PyObject *fl_setup(PyObject *self, PyObject *args)
         NM_tbody = intern_name((const uint8_t *)"tbody", 5);
         NM_tr = intern_name((const uint8_t *)"tr", 2);
         NM_type = intern_name((const uint8_t *)"type", 4);
+        NM_id_attr = intern_name((const uint8_t *)"id", 2);
+        NM_class_attr = intern_name((const uint8_t *)"class", 5);
+        NM_link_el = intern_name((const uint8_t *)"link", 4);
+        if (NM_id_attr == NULL || NM_class_attr == NULL
+            || NM_link_el == NULL)
+            return NULL;
+        Py_INCREF(NM_id_attr);
+        Py_INCREF(NM_class_attr);
+        Py_INCREF(NM_link_el);
         if (g_lt_str == NULL || g_empty_str == NULL || NM_html == NULL
             || NM_head == NULL || NM_body == NULL || NM_p == NULL
             || NM_img == NULL || NM_rtc == NULL || NM_colgroup == NULL
@@ -2933,6 +3800,14 @@ static PyMethodDef fl_methods[] = {
      "setup(decode_charrefs, html_ns, node_from_state)"},
     {"parse", fl_parse, METH_O,
      "parse(utf8_bytes) -> arena node list, or None to fall back"},
+    {"compile_program", fl_compile_program, METH_O,
+     "compile_program(ir) -> capsule (see css/lower.py for the IR)"},
+    {"select_all", fl_select_all, METH_VARARGS,
+     "select_all(nodes, programs, roots, include_node) -> list of nid "
+     "lists per program, or None to fall back (non-CNode arena)"},
+    {"text", fl_text, METH_VARARGS,
+     "text(nodes, nid) -> concatenated subtree text, or None to fall "
+     "back (non-CNode arena)"},
     {NULL, NULL, 0, NULL},
 };
 

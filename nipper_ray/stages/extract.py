@@ -40,8 +40,23 @@ def _select_all(tree, compileds):
     Rules whose rightmost compound names a type (the usual case) are
     bucketed by that tag name, so a node consults only the rules that
     could possibly match it — O(1) dict probe instead of K matcher
-    calls per node (same fast-name logic as match_node's reject)."""
+    calls per node (same fast-name logic as match_node's reject).
+
+    On pure-CNode arenas (C fast-lane parses) the whole multi-rule walk
+    runs in one C pass (html/_fastlane.c fl_select_all), result-
+    identical (tests/test_cselect_differential.py)."""
+    from ..css.lower import get_cprog
     from ..dom import ELEMENT
+
+    progs = [get_cprog(c) for c in compileds]
+    if progs and all(p is not None for p in progs):
+        from ..html.fastlane import get
+
+        mod = get()
+        if mod is not None:
+            res = mod.select_all(tree.nodes, progs, (0,), True)
+            if res is not None:
+                return res
 
     results = [[] for _ in compileds]
     byname = {}
