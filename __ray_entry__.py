@@ -86,6 +86,64 @@ def _simhash_neardup_oracle_sql() -> str:
     """
 
 
+def _langid_oracle_sql() -> str:
+    """Exact SQL re-derivation of ops/textstats.LangIdStage._predict:
+    DISTINCT char-trigrams of lower(text[:1000]) intersected with each
+    embedded language-profile trigram set (the literal seed strings of
+    _LANG_PROFILES shipped as a VALUES table — the logic, trigram
+    extraction / intersection counting / argmax, runs in SQL), tie
+    broken by profile order (first strict max wins, matching the
+    Python dict-iteration `score > best_score`); a CJK-codepoint count
+    over the RAW text[:200] short-circuits to 'zh'; no positive score
+    -> 'und'."""
+    from nipper_ray.ops.textstats import _LANG_PROFILES
+
+    rows = []
+    for rnk, (lang, seed) in enumerate(_LANG_PROFILES.items()):
+        for g in sorted({seed[i:i + 3] for i in range(len(seed) - 2)}):
+            rows.append("(%d, '%s', '%s')"
+                        % (rnk, lang, g.replace("'", "''")))
+    values = ", ".join(rows)
+    return f"""
+        WITH d AS (
+          SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+        s AS (
+          SELECT doc_id, lower(substr(text, 1, 1000)) AS s,
+                 substr(text, 1, 200) AS head
+          FROM d),
+        cjk AS (
+          SELECT doc_id,
+                 len(list_filter(range(1, length(head) + 1), i ->
+                     unicode(substr(head, CAST(i AS INT), 1))
+                     BETWEEN 19968 AND 40959)) AS n_cjk
+          FROM s),
+        grams AS (
+          SELECT DISTINCT doc_id, g
+          FROM (SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, greatest(length(s) - 2, 0) + 1),
+                           i -> substr(s, CAST(i AS INT), 3))) AS g
+                FROM s)),
+        prof AS (SELECT * FROM (VALUES {values}) t(rnk, lang, g)),
+        scores AS (
+          SELECT g.doc_id, p.lang, p.rnk, count(*) AS score
+          FROM grams g JOIN prof p USING (g)
+          GROUP BY g.doc_id, p.lang, p.rnk),
+        best AS (
+          SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, rnk) AS rn
+          FROM scores)
+        SELECT d.doc_id,
+               CASE WHEN c.n_cjk > 10 THEN 'zh'
+                    ELSE COALESCE(b.lang, 'und') END AS lang_pred
+        FROM d
+        JOIN cjk c USING (doc_id)
+        LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+        ORDER BY doc_id
+    """
+
+
 # exact word-3-gram Jaccard join over documents — the minhash_neardup
 # oracle, also reused as the pair source of the dedup_clusters oracle
 _MINHASH_PAIRS_SQL = """
@@ -2129,6 +2187,8 @@ def oracle_sql() -> dict[str, str]:
                        AS feat_std_ppm
             FROM s ORDER BY media_id
         """,
-        # langid / ann_lsh / ann_ivf: intentionally no oracle
-        # (heuristic / approximate) -> driver records rows-only checks.
+        "langid": _langid_oracle_sql(),
+        # ann_lsh / ann_ivf: intentionally no oracle (approximate by
+        # construction) -> driver records rows-only checks; recall +
+        # determinism pinned by pytest instead.
     }

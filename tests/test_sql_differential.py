@@ -151,3 +151,29 @@ def test_shingle_strings_match_sql(text):
         assert got == []
     else:
         assert set(got[0][0]) == mine, repr(text)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.one_of(
+    TEXT,
+    st.text(alphabet="的是不了人我在有一鿿中 ", max_size=60),  # CJK range edges
+    st.just(""),
+    st.just("th"),                       # below trigram length
+    st.just(" de le la et les des que"),  # fr profile verbatim
+    st.just(" de "),                      # fr/es/de tie -> first profile
+), min_size=1, max_size=8))
+def test_langid_matches_oracle_sql(texts):
+    """LangIdStage._predict vs oracle_sql()['langid'] on generated text
+    including the paths the shipped (pure-ASCII) corpus never hits:
+    the CJK short-circuit, sub-trigram strings, and profile-order tie
+    breaks."""
+    import __ray_entry__ as entry
+    from nipper_ray.ops.textstats import LangIdStage
+
+    batch = pa.table({"doc_id": list(range(len(texts))),
+                      "text": pa.array(texts, pa.string())})
+    con = _con()
+    con.register("documents", batch.to_pandas())
+    gold = con.execute(entry.oracle_sql()["langid"]).fetchall()
+    st_ = LangIdStage()
+    assert [(i, st_._predict(t)) for i, t in enumerate(texts)] == gold
