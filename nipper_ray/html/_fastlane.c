@@ -4,13 +4,15 @@
  * the arena DOM natively as CNode objects (attribute-compatible with
  * dom.Node).
  *
- * Contract: for any input, parse() either returns an arena list that is
- * node-for-node IDENTICAL (ids, kinds, names, attrs, linkage, text) to
- * what TreeBuilder().parse() produces, or returns None and the caller
- * falls back to the pure-Python machine.  The subset is the ERROR-FREE
- * common path: any construct that would record a parse error, plus
- * tables / templates / select / frameset / foreign content / foster
- * parenting / the full adoption agency, aborts.  Differential tests
+ * Contract: for any input, parse() either returns (arena list, errors
+ * list) that is node-for-node IDENTICAL (ids, kinds, names, attrs,
+ * linkage, text) to what TreeBuilder().parse() produces — with the
+ * SAME accumulated Tree.errors strings in order — or returns None and
+ * the caller falls back to the pure-Python machine.  The subset is the
+ * common path plus the misnested-formatting error paths (the full
+ * WHATWG adoption agency and stray-end-tag recovery run natively);
+ * templates / select / frameset / foreign content / foster parenting
+ * (including the agency's foster arm) abort.  Differential tests
  * (tests/test_fastlane_differential.py) pin the equivalence.
  *
  * Reference for observable semantics: /root/reference/src/document.rs
@@ -358,6 +360,9 @@ typedef struct {
                                 * foster-parent (a parse error) => abort */
     PyObject *tt;              /* pending table text chunks, or NULL */
 
+    PyObject *errors;          /* accumulated parse errors (lazy list;
+                                * mirrors treebuilder.parse_error) */
+
     int aborted;
 } P;
 
@@ -371,6 +376,25 @@ static PyObject *NM_colgroup, *NM_tbody, *NM_tr, *NM_type;
 
 #define ABORT(p) do { (p)->aborted = 1; return -1; } while (0)
 #define CHECK(x) do { if ((x) < 0) return -1; } while (0)
+
+/* treebuilder.parse_error: append "<pfx></name>" to the error list.
+ * Recovery is unchanged — errors are observational (Tree.errors). */
+static int parse_error_tag(P *p, const char *pfx, PyObject *name)
+{
+    PyObject *msg;
+    int r;
+    if (p->errors == NULL) {
+        p->errors = PyList_New(0);
+        if (p->errors == NULL)
+            return -1;
+    }
+    msg = PyUnicode_FromFormat("%s</%U>", pfx, name);
+    if (msg == NULL)
+        return -1;
+    r = PyList_Append(p->errors, msg);
+    Py_DECREF(msg);
+    return r;
+}
 
 /* ---------------- arena ops ---------------- */
 static int arena_push(P *p, PyObject *node)
@@ -428,6 +452,38 @@ static void link_append(P *p, int parent_id, int child_id)
     child->next = -1;
 }
 
+/* dom.Tree.remove_from_parent */
+static void unlink_node(P *p, int id)
+{
+    CNode *n = NODE(p, id);
+    if (n->parent != -1) {
+        CNode *par = NODE(p, n->parent);
+        if (par->first_child == id)
+            par->first_child = n->next;
+        if (par->last_child == id)
+            par->last_child = n->prev;
+    }
+    if (n->prev != -1)
+        NODE(p, n->prev)->next = n->next;
+    if (n->next != -1)
+        NODE(p, n->next)->prev = n->prev;
+    n->parent = n->prev = n->next = -1;
+}
+
+/* dom.Tree.reparent_children (append each child in order) */
+static void reparent_children_c(P *p, int src_id, int dst_id)
+{
+    int c = NODE(p, src_id)->first_child;
+    while (c != -1) {
+        CNode *ch = NODE(p, c);
+        int nx = ch->next;
+        ch->parent = ch->prev = ch->next = -1;
+        link_append(p, dst_id, c);
+        c = nx;
+    }
+    NODE(p, src_id)->first_child = NODE(p, src_id)->last_child = -1;
+}
+
 /* ---------------- open stack / afe ---------------- */
 static int open_push(P *p, int id, int tok, uint16_t flags)
 {
@@ -452,6 +508,43 @@ static int on_open_stack(P *p, int el)
     for (i = p->n_open - 1; i >= 0; i--)
         if (p->open[i].id == el)
             return 1;
+    return 0;
+}
+
+/* list.index semantics (first match from the bottom, like Python's
+ * self.open.index) — the agency only targets unique element ids */
+static int open_index_of(P *p, int el)
+{
+    int i;
+    for (i = 0; i < p->n_open; i++)
+        if (p->open[i].id == el)
+            return i;
+    return -1;
+}
+
+static void open_remove_at(P *p, int i)
+{
+    memmove(&p->open[i], &p->open[i + 1],
+            (p->n_open - i - 1) * sizeof(OpenEnt));
+    p->n_open--;
+}
+
+static int open_insert_at(P *p, int i, int id, int tok, uint16_t flags)
+{
+    if (p->n_open == p->cap_open) {
+        int nc = p->cap_open ? p->cap_open * 2 : 32;
+        OpenEnt *no = PyMem_Realloc(p->open, nc * sizeof(OpenEnt));
+        if (no == NULL)
+            return -1;
+        p->open = no;
+        p->cap_open = nc;
+    }
+    memmove(&p->open[i + 1], &p->open[i],
+            (p->n_open - i) * sizeof(OpenEnt));
+    p->open[i].id = id;
+    p->open[i].tok = tok;
+    p->open[i].flags = flags;
+    p->n_open++;
     return 0;
 }
 
@@ -500,6 +593,30 @@ static void afe_remove_at(P *p, int i)
     memmove(&p->afe[i], &p->afe[i + 1],
             (p->n_afe - i - 1) * sizeof(AfeEnt));
     p->n_afe--;
+}
+
+/* insert at index i; takes NEW references to name/attrs from caller */
+static int afe_insert_at(P *p, int i, int el, int tok,
+                         PyObject *name, PyObject *attrs)
+{
+    if (p->n_afe == p->cap_afe) {
+        int nc = p->cap_afe ? p->cap_afe * 2 : 16;
+        AfeEnt *na = PyMem_Realloc(p->afe, nc * sizeof(AfeEnt));
+        if (na == NULL)
+            return -1;
+        p->afe = na;
+        p->cap_afe = nc;
+    }
+    memmove(&p->afe[i + 1], &p->afe[i],
+            (p->n_afe - i) * sizeof(AfeEnt));
+    p->afe[i].el = el;
+    p->afe[i].tok = tok;
+    Py_INCREF(name);
+    p->afe[i].name = name;
+    Py_INCREF(attrs);
+    p->afe[i].attrs = attrs;
+    p->n_afe++;
+    return 0;
 }
 
 /* multiset equality of two attrs lists (names unique per list) */
@@ -635,6 +752,53 @@ static int insert_element(P *p, PyObject *name, PyObject *attrs,
     return el->id;
 }
 
+/* fresh outer+inner lists sharing name/value strings (mirrors
+ * [list(a) for a in attrs]) */
+static PyObject *copy_attrs(PyObject *src_attrs)
+{
+    PyObject *attrs = PyList_New(PyList_GET_SIZE(src_attrs));
+    Py_ssize_t k;
+    if (attrs == NULL)
+        return NULL;
+    for (k = 0; k < PyList_GET_SIZE(src_attrs); k++) {
+        PyObject *src = PyList_GET_ITEM(src_attrs, k);
+        PyObject *inner = PyList_New(3);
+        Py_ssize_t m;
+        if (inner == NULL) {
+            Py_DECREF(attrs);
+            return NULL;
+        }
+        for (m = 0; m < 3; m++) {
+            PyObject *it = PyList_GET_ITEM(src, m);
+            Py_INCREF(it);
+            PyList_SET_ITEM(inner, m, it);
+        }
+        PyList_SET_ITEM(attrs, k, inner);
+    }
+    return attrs;
+}
+
+/* dom.Tree.new_element (create in the arena, link nowhere): fresh
+ * deep-copied attrs, html ns — the agency's clone constructor */
+static int create_element(P *p, PyObject *name, PyObject *attrs_src)
+{
+    CNode *el;
+    PyObject *attrs = copy_attrs(attrs_src);
+    if (attrs == NULL)
+        return -1;
+    el = new_node(p, K_ELEMENT);
+    if (el == NULL) {
+        Py_DECREF(attrs);
+        return -1;
+    }
+    Py_INCREF(name);
+    el->name = name;
+    Py_INCREF(g_html_ns);
+    el->ns = g_html_ns;
+    el->attrs = attrs;  /* steal */
+    return el->id;
+}
+
 /* treebuilder._reconstruct_afe */
 static int reconstruct_afe(P *p)
 {
@@ -656,28 +820,10 @@ static int reconstruct_afe(P *p)
         i = 0;
     for (j = i; j < p->n_afe; j++) {
         AfeEnt *e = &p->afe[j];
-        /* fresh outer+inner lists sharing name/value strings (mirrors
-         * [list(a) for a in attrs]) */
-        PyObject *attrs = PyList_New(PyList_GET_SIZE(e->attrs));
-        Py_ssize_t k;
+        PyObject *attrs = copy_attrs(e->attrs);
         int nid;
         if (attrs == NULL)
             return -1;
-        for (k = 0; k < PyList_GET_SIZE(e->attrs); k++) {
-            PyObject *src = PyList_GET_ITEM(e->attrs, k);
-            PyObject *inner = PyList_New(3);
-            Py_ssize_t m;
-            if (inner == NULL) {
-                Py_DECREF(attrs);
-                return -1;
-            }
-            for (m = 0; m < 3; m++) {
-                PyObject *it = PyList_GET_ITEM(src, m);
-                Py_INCREF(it);
-                PyList_SET_ITEM(inner, m, it);
-            }
-            PyList_SET_ITEM(attrs, k, inner);
-        }
         nid = insert_element(p, e->name, attrs, e->tok,
                             (e->tok == T_A || e->tok == T_NOBR
                              || e->tok == T_FMTG) ? F_FMT : 0, 1);
@@ -967,6 +1113,7 @@ static int handle_end(P *p, const NameEnt *ne, PyObject *name);
 static int handle_chars(P *p, PyObject *s);
 static int in_scope_name(P *p, PyObject *name);
 static int in_body_end(P *p, const NameEnt *ne, PyObject *name);
+static int adoption_agency(P *p, int tok, PyObject *name);
 
 /* synthesize html/head/body (treebuilder._anything_else_to_body) */
 static int synth_to_body(P *p)
@@ -1174,10 +1321,28 @@ static int in_body_start(P *p, const NameEnt *ne, PyObject *name,
         CHECK(insert_element(p, name, attrs, tok, flags, 1));
         return 0;
     case T_A: {
+        /* misnested <a>: run the agency for the existing entry, then
+         * drop it from afe/open if still present (treebuilder
+         * in_body <a> arm; the scan stops at a marker) */
         int i;
-        for (i = p->n_afe - 1; i >= 0; i--)
-            if (p->afe[i].tok == T_A)
-                ABORT(p);  /* misnested <a>: Python runs the agency */
+        for (i = p->n_afe - 1; i >= 0; i--) {
+            if (p->afe[i].name == NULL)
+                break;
+            if (p->afe[i].tok == T_A) {
+                int a_el = p->afe[i].el;
+                int j;
+                CHECK(adoption_agency(p, T_A, name));
+                for (j = 0; j < p->n_afe; j++)
+                    if (p->afe[j].name != NULL && p->afe[j].el == a_el) {
+                        afe_remove_at(p, j);
+                        break;
+                    }
+                j = open_index_of(p, a_el);
+                if (j != -1)
+                    open_remove_at(p, j);
+                break;
+            }
+        }
         CHECK(reconstruct_afe(p));
         {
             int el = insert_element(p, name, attrs, tok, flags, 1);
@@ -1195,8 +1360,10 @@ static int in_body_start(P *p, const NameEnt *ne, PyObject *name,
     case T_NOBR: {
         int el;
         CHECK(reconstruct_afe(p));
-        if (in_scope_tok(p, T_NOBR, 0, 0))
-            ABORT(p);
+        if (in_scope_tok(p, T_NOBR, 0, 0)) {
+            CHECK(adoption_agency(p, T_NOBR, name));
+            CHECK(reconstruct_afe(p));
+        }
         el = insert_element(p, name, attrs, tok, flags, 1);
         CHECK(el);
         return afe_push_noah(p, el, tok, name, attrs);
@@ -1643,7 +1810,7 @@ static int handle_start(P *p, const NameEnt *ne, PyObject *name,
 }
 
 /* ---------------- end tags ---------------- */
-/* treebuilder._any_other_end_tag; special hit => parse error => abort */
+/* treebuilder._any_other_end_tag; special hit => parse error, ignore */
 static int any_other_end(P *p, PyObject *name)
 {
     int i;
@@ -1655,15 +1822,21 @@ static int any_other_end(P *p, PyObject *name)
             return 0;
         }
         if (e->flags & F_SP)
-            ABORT(p);
+            return parse_error_tag(p, "unexpected-end-tag-", name);
     }
     return 0;
 }
 
-/* the well-formed fast path of treebuilder._adoption_agency; anything
- * deeper is a parse error => abort */
-static int adoption_fast(P *p, int tok, PyObject *name)
+/* treebuilder._adoption_agency (WHATWG; html5lib-style bookkeeping):
+ * the well-formed fast path, then the full 8-iteration agency for
+ * misnested formatting.  Entry objects are tracked by INDEX (the C
+ * afe is a flat array, so every remove/insert adjusts fmt_idx /
+ * bookmark exactly where Python re-derives .index(entry)).  The one
+ * remaining abort: a table-ish common ancestor (the agency's
+ * foster-parenting arm) => Python lane. */
+static int adoption_agency(P *p, int tok, PyObject *name)
 {
+    int outer;
     OpenEnt *cur = &p->open[p->n_open - 1];
     (void)tok;
     if (NODE(p, cur->id)->name == name) {
@@ -1691,7 +1864,129 @@ static int adoption_fast(P *p, int tok, PyObject *name)
             return 0;
         }
     }
-    ABORT(p);
+    /* deep path: tree surgery ahead — flush the pending text run first
+     * (Python inserts text eagerly, so post-flush state is identical) */
+    CHECK(flush_text(p));
+    CHECK(parse_error_tag(p, "misnested-tag-", name));
+    for (outer = 0; outer < 8; outer++) {
+        int fmt_idx = -1, fmt_el, si, furthest = -1, f_oidx = -1;
+        int common_ancestor, bookmark, last_node, node_idx, inner, i, j;
+        for (i = p->n_afe - 1; i >= 0; i--) {
+            if (p->afe[i].name == NULL)
+                break;
+            if (p->afe[i].name == name) {
+                fmt_idx = i;
+                break;
+            }
+        }
+        if (fmt_idx == -1)
+            return any_other_end(p, name);
+        fmt_el = p->afe[fmt_idx].el;
+        if (!on_open_stack(p, fmt_el)) {
+            afe_remove_at(p, fmt_idx);
+            return 0;
+        }
+        if (!el_in_scope(p, fmt_el))
+            return 0;
+        si = open_index_of(p, fmt_el);
+        for (j = si + 1; j < p->n_open; j++)
+            if (p->open[j].flags & F_SP) {
+                furthest = p->open[j].id;
+                f_oidx = j;
+                break;
+            }
+        if (furthest == -1) {
+            p->n_open = si;
+            afe_remove_at(p, fmt_idx);
+            return 0;
+        }
+        common_ancestor = p->open[si - 1].id;
+        if (TABLEISH(p->open[si - 1].tok))
+            ABORT(p);  /* agency foster-parenting arm: Python lane */
+        bookmark = fmt_idx;
+        last_node = furthest;
+        node_idx = f_oidx;
+        inner = 0;
+        while (1) {
+            int node, node_afe = -1;
+            inner++;
+            node_idx--;
+            node = p->open[node_idx].id;
+            /* spec order: the formatting-element break comes BEFORE
+             * the counter>3 AFE eviction */
+            if (node == fmt_el)
+                break;
+            for (i = 0; i < p->n_afe; i++)
+                if (p->afe[i].name != NULL && p->afe[i].el == node) {
+                    node_afe = i;
+                    break;
+                }
+            if (inner > 3 && node_afe != -1) {
+                afe_remove_at(p, node_afe);
+                if (node_afe < fmt_idx)
+                    fmt_idx--;
+                if (fmt_idx < bookmark)
+                    bookmark--;
+                node_afe = -1;
+            }
+            if (node_afe == -1) {
+                open_remove_at(p, node_idx);
+                continue;
+            }
+            {
+                int clone = create_element(p, p->afe[node_afe].name,
+                                           p->afe[node_afe].attrs);
+                CHECK(clone);
+                p->afe[node_afe].el = clone;
+                p->open[node_idx].id = clone;  /* same name: tok/flags keep */
+                node = clone;
+                if (last_node == furthest)
+                    bookmark = node_afe + 1;
+                unlink_node(p, last_node);
+                link_append(p, node, last_node);
+                last_node = node;
+            }
+        }
+        unlink_node(p, last_node);
+        link_append(p, common_ancestor, last_node);
+        {
+            int clone2, old_idx, f2, r;
+            int f_tok = p->afe[fmt_idx].tok;
+            PyObject *f_name = p->afe[fmt_idx].name;
+            PyObject *f_attrs = p->afe[fmt_idx].attrs;
+            PyObject *acopy;
+            Py_INCREF(f_name);
+            Py_INCREF(f_attrs);
+            clone2 = create_element(p, f_name, f_attrs);
+            if (clone2 < 0) {
+                Py_DECREF(f_name);
+                Py_DECREF(f_attrs);
+                return -1;
+            }
+            reparent_children_c(p, furthest, clone2);
+            link_append(p, furthest, clone2);
+            if (bookmark > p->n_afe)
+                bookmark = p->n_afe;
+            old_idx = fmt_idx;
+            afe_remove_at(p, fmt_idx);
+            if (old_idx < bookmark)
+                bookmark--;
+            acopy = copy_attrs(f_attrs);
+            Py_DECREF(f_attrs);
+            if (acopy == NULL) {
+                Py_DECREF(f_name);
+                return -1;
+            }
+            r = afe_insert_at(p, bookmark, clone2, f_tok, f_name, acopy);
+            Py_DECREF(f_name);
+            Py_DECREF(acopy);
+            CHECK(r);
+            open_remove_at(p, open_index_of(p, fmt_el));
+            f2 = open_index_of(p, furthest);
+            CHECK(open_insert_at(p, f2 + 1, clone2, f_tok, F_FMT));
+        }
+    }
+    return 0;
 }
 
 static int in_body_end(P *p, const NameEnt *ne, PyObject *name)
@@ -1764,7 +2059,7 @@ static int in_body_end(P *p, const NameEnt *ne, PyObject *name)
     case T_A:
     case T_NOBR:
     case T_FMTG:
-        return adoption_fast(p, tok, name);
+        return adoption_agency(p, tok, name);
     case T_APPLETG:
         return 0;  /* never on stack in subset: in_scope false, ignore */
     case T_BR: {
@@ -3684,6 +3979,7 @@ static void p_free(P *p, int decref_nodes)
     PyMem_Free(p->afe);
     Py_XDECREF(p->pend);
     Py_XDECREF(p->tt);
+    Py_XDECREF(p->errors);
 }
 
 static PyObject *fl_parse(PyObject *self, PyObject *arg)
@@ -3729,6 +4025,7 @@ static PyObject *fl_parse(PyObject *self, PyObject *arg)
 
     {
         PyObject *list = PyList_New(p.n_nodes);
+        PyObject *errors, *out;
         int i;
         if (list == NULL) {
             p_free(&p, 1);
@@ -3737,8 +4034,18 @@ static PyObject *fl_parse(PyObject *self, PyObject *arg)
         for (i = 0; i < p.n_nodes; i++)
             PyList_SET_ITEM(list, i, p.nodes[i]);  /* steal refs */
         p.n_nodes = 0;
+        errors = p.errors != NULL ? p.errors : PyList_New(0);
+        p.errors = NULL;
+        if (errors == NULL) {
+            Py_DECREF(list);
+            p_free(&p, 0);
+            return NULL;
+        }
+        out = PyTuple_Pack(2, list, errors);
+        Py_DECREF(list);
+        Py_DECREF(errors);
         p_free(&p, 0);
-        return list;
+        return out;
     }
 }
 

@@ -90,12 +90,13 @@ def parse_document_fast(html: str):
         b = html.encode("utf-8", "surrogatepass")
     except UnicodeEncodeError:
         return None
-    nodes = mod.parse(b)
-    if nodes is None:
+    res = mod.parse(b)
+    if res is None:
         return None
+    nodes, errors = res
     from ..dom import Tree
 
     t = Tree.__new__(Tree)
     t.nodes = nodes
-    t.errors = []
+    t.errors = errors
     return t

@@ -1,9 +1,10 @@
 """Differential: the C whole-document fast lane (html/_fastlane.c via
 html/fastlane.py) must either ABORT (return None -> Python fallback) or
 produce an arena that is node-for-node IDENTICAL to the pure-Python
-TreeBuilder — same ids, kinds, names, attrs, linkage, text, AND zero
-accumulated parse errors (the subset is the error-free path: any input
-the Python machine records an error for must abort).
+TreeBuilder — same ids, kinds, names, attrs, linkage, text, AND the
+same accumulated parse errors (since the full adoption agency landed,
+the lane handles the misnested-formatting and stray-end-tag ERROR
+paths too, recording the identical Tree.errors strings in order).
 
 Strictly stronger than serialize-equality: id-level identity pins the
 fast lane to the exact creation order of the reference machine, which
@@ -37,7 +38,8 @@ def _assert_same(fast, py, label):
             assert getattr(x, f) == getattr(y, f), \
                 "%s: node %d field %s: %r != %r" % (
                     label, y.id, f, getattr(x, f), getattr(y, f))
-    assert fast.errors == [] == py.errors, label
+    assert fast.errors == py.errors, \
+        "%s: errors %r != %r" % (label, fast.errors, py.errors)
 
 
 def _check(html, label=None):
@@ -47,9 +49,6 @@ def _check(html, label=None):
     py = TreeBuilder().parse(html)
     if fast is None:
         return False
-    # the subset is the error-free path: a non-aborting parse of an
-    # erroring document would silently change Tree.errors semantics
-    assert py.errors == [], "fast lane accepted an erroring doc: %s" % label
     _assert_same(fast, py, label)
     # end-to-end sanity on the public reads
     assert fast.serialize(0) == py.serialize(0), label
@@ -204,6 +203,56 @@ def test_formatting_reconstruction_differential():
     for html in cases:
         handled = _check(html)
         assert handled, html  # all of these are error-free: must NOT abort
+
+
+def test_adoption_agency_differential():
+    """The full agency in C: misnested formatting, a-in-a, nobr-in-
+    nobr, stray end tags — arena-identical INCLUDING Tree.errors."""
+    cases = [
+        "<b><i>x</b>y</i>",
+        "<a href=1>x<a href=2>y</a>",
+        "<p>1<b>2<i>3<p>4</b>5</i>6",
+        "<div><a>x<div>y</a>z</div></div>",
+        "<b>1<p>2</b>3</p>",
+        "<nobr>a<nobr>b</nobr>c",
+        "<nobr><span><nobr>x",
+        "</div>",
+        "<span></div>x</span>",
+        "<b><em><i>deep</b>tail</em></i>end",
+        "<a><b><a>inner</a></b></a>",
+        "<b><b><i></b>one</i>",
+        "<p><b><div>block</b></div>",
+        "<u><p>a</u>b",
+        "<a class=x>1<p><a class=y>2",      # a-in-a across a p
+        "<i><ul><li>x</i>y</li></ul>",
+        "<em>a<section>b</em>c</section>",
+        "<s>1<h2>2</s>3</h2>",
+        "<font color=r>f<div>g</font>h</div>",
+        "<b>1<b>2</b>3</b>4</b>5",          # extra </b>
+        "<code>c</em></code>",              # mismatched fmt end
+    ]
+    handled = 0
+    for html in cases:
+        if _check(html, label=html):
+            handled += 1
+    # the agency covers the non-foster cases; only table-adjacent
+    # misnesting may still fall back
+    assert handled >= len(cases) - 2, handled
+
+
+def test_agency_soup_differential():
+    """Soup biased to formatting misnesting: C either aborts or is
+    arena+errors identical."""
+    rng = random.Random(0xADAB7)
+    atoms = ["<b>", "</b>", "<i>", "</i>", "<em>", "</em>", "<a href=x>",
+             "<a>", "</a>", "<nobr>", "</nobr>", "<u>", "</u>",
+             "<font>", "</font>", "<div>", "</div>", "<p>", "</p>",
+             "<li>", "<ul>", "</ul>", "<span>", "</span>", "x", " ",
+             "</h1>", "<h1>", "</div>", "</span>", "</li>", "</p>"]
+    for trial in range(600):
+        html = "".join(rng.choice(atoms)
+                       for _ in range(rng.randrange(1, 40)))
+        _check(html, label="agency soup %d" % trial)
 
 
 def test_fastlane_through_api():
