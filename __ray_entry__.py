@@ -144,9 +144,10 @@ def _langid_oracle_sql() -> str:
     """
 
 
-# exact word-3-gram Jaccard join over documents — the minhash_neardup
-# oracle, also reused as the pair source of the dedup_clusters oracle
-_MINHASH_PAIRS_SQL = """
+# exact word-3-gram Jaccard join over documents, parameterized on the
+# threshold — the minhash_neardup (0.6) and ngram_jaccard (0.5)
+# oracles, also reused as the pair source of the dedup_clusters oracle
+_JACCARD_PAIRS_SQL_TMPL = """
             WITH w AS (SELECT doc_id,
                               regexp_extract_all(
                                   translate(text,
@@ -170,9 +171,10 @@ _MINHASH_PAIRS_SQL = """
             FROM inter
             JOIN sizes sa ON sa.doc_id = a
             JOIN sizes sb ON sb.doc_id = b
-            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.6
+            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {threshold}
             ORDER BY a, b
         """
+_MINHASH_PAIRS_SQL = _JACCARD_PAIRS_SQL_TMPL.format(threshold="0.6")
 
 # Golden (title, n_links) for the 5 reference fixture pages embedded in
 # the synthetic corpus.  Values are pinned byte-exact by the round-1
@@ -1491,6 +1493,26 @@ def q_minhash_neardup(sf_dir: str):
                            num_partitions=4)
 
 
+def q_ngram_jaccard(sf_dir: str):
+    """EXACT n-gram Jaccard near-dup via the AllPairs/ppjoin prefix
+    filter (ops/dedup.py ngram_jaccard_neardup): shingle sets -> prefix
+    tokens under the ascending-hash global order -> token-bucket
+    candidates (recall exactly 1 by the prefix-filter theorem, for ANY
+    corpus) -> shingle-blob hash join -> true Jaccard >= 0.5.
+
+    Complements minhash_neardup: same verification tail, but the
+    candidate step is deterministic-exact instead of LSH-probabilistic,
+    and the threshold (0.5) exercises different prefix lengths than the
+    minhash query's 0.6."""
+    from nipper_ray.ops.dedup import ngram_jaccard_neardup
+
+    rd = _rd()
+    corpus = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"])
+    return ngram_jaccard_neardup(corpus, threshold=0.5, n=3,
+                                 num_partitions=4)
+
+
 def q_dedup_clusters(sf_dir: str):
     """Near-dup clustering at scale: verified minhash pairs ->
     distributed connected components (ops/cc.py min-label propagation —
@@ -1760,6 +1782,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": q_langid,
         "exact_dedup": q_exact_dedup,
         "minhash_neardup": q_minhash_neardup,
+        "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "simhash_neardup": q_simhash_neardup,
@@ -2085,6 +2108,7 @@ def oracle_sql() -> dict[str, str]:
             FROM corpus c LEFT JOIN ov o ON c.doc_id = o.doc_id
         """,
         "minhash_neardup": _MINHASH_PAIRS_SQL,
+        "ngram_jaccard": _JACCARD_PAIRS_SQL_TMPL.format(threshold="0.5"),
         "dedup_clusters": """
             WITH RECURSIVE pr AS (SELECT * FROM (%s) q),
             edges AS (

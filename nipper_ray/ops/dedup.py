@@ -298,8 +298,6 @@ def minhash_neardup(corpus_ds, threshold: float = 0.6, n: int = 3,
     ``materialize()`` pins the signature table in the (distributed,
     spillable) object store — at 100 TB write it to Parquet once and
     read both branches from that checkpoint instead."""
-    from ray.data.aggregate import Count
-
     sh = corpus_ds.map_batches(
         shingle_minhash_stage, batch_format="pyarrow", batch_size=256,
         fn_kwargs={"id_col": id_col, "text_col": text_col, "n": n})
@@ -311,10 +309,158 @@ def minhash_neardup(corpus_ds, threshold: float = 0.6, n: int = 3,
     cand = bands.groupby("pkey").map_groups(
         lambda g: candidate_pairs_from_partition(g, bucket_cap),
         batch_format="pandas")
+    shing = sh.select_columns([id_col, "shingles"])
+    return verify_candidate_pairs(cand, shing, threshold,
+                                  num_partitions, id_col)
+
+
+def shingle_set_stage(batch: pa.Table, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3) -> pa.Table:
+    """doc_id + sorted distinct shingle-hash blob (the minhash stage's
+    verification payload without the signature — the input to exact
+    set-similarity joins).  Docs with fewer than n words are dropped,
+    mirroring the oracle's ``len(w) >= n`` filter."""
+    texts = batch.column(text_col).to_pylist()
+    all_h, offsets = shingle_hashes_batch(texts, n)
+    keep = np.nonzero(np.diff(offsets) > 0)[0]
+    blobs = [np.unique(all_h[offsets[i]:offsets[i + 1]]).tobytes()
+             for i in keep]
+    return pa.table({
+        id_col: batch.column(id_col).take(pa.array(keep, pa.int64())),
+        "shingles": pa.array(blobs, pa.binary()),
+    })
+
+
+def _prefix_len(sizes: np.ndarray, threshold: float) -> np.ndarray:
+    """Prefix-filter length p = s - ceil(t*s) + 1 per set size, with the
+    ceil computed in EXACT integer arithmetic (float ceil(0.6*5) = 4
+    because 0.6*5 = 3.0000000000000004 — an over-ceil SHRINKS the prefix
+    and silently loses recall, so the decimal threshold is taken as an
+    exact fraction)."""
+    from fractions import Fraction
+
+    fr = Fraction(str(threshold))
+    num, den = fr.numerator, fr.denominator
+    s = sizes.astype(np.int64)
+    return s - (num * s + den - 1) // den + 1
+
+
+def hot_tokens(sh, top_k: int = 4096, min_batch_df: int = 2,
+               batch_size: int = 256) -> np.ndarray:
+    """Approximate global hot-token set for the prefix-filter order:
+    per-batch document frequencies (only tokens seen in >= min_batch_df
+    docs of a batch survive the partial — a token able to blow up a
+    candidate bucket is hot in many batches), one narrow (token, df)
+    groupby, top_k by summed df to the driver (a few KB, broadcast).
+
+    The prefix filter is recall-1 under ANY fixed global token order,
+    so approximating the classic ascending-df order costs no
+    correctness — only candidate-count optimality."""
+    from ray.data.aggregate import Sum
+
+    # Dataset-carried token columns are the uint64 hash VIEWED as int64
+    # (bijective): raw uint64 values above 2^63 trip Ray's block
+    # conversion into the pickled-python-objects fallback path.
+    def partial(batch: pa.Table) -> pa.Table:
+        blobs = batch.column("shingles").to_pylist()
+        if not blobs:
+            return pa.table({"token": pa.array([], pa.int64()),
+                             "df": pa.array([], pa.int64())})
+        all_t = np.frombuffer(b"".join(blobs), dtype="<u8")
+        u, c = np.unique(all_t, return_counts=True)
+        keep = c >= min_batch_df
+        return pa.table({"token": pa.array(u[keep].view(np.int64)),
+                         "df": pa.array(c[keep].astype(np.int64))})
+
+    agg = (sh.select_columns(["shingles"])
+           .map_batches(partial, batch_format="pyarrow",
+                        batch_size=batch_size)
+           .groupby("token").aggregate(Sum("df", alias_name="df")))
+    top = agg.sort("df", descending=True).limit(top_k).to_pandas()
+    return np.sort(
+        top["token"].to_numpy(dtype=np.int64).view(np.uint64))
+
+
+def prefix_tokens_stage(batch: pa.Table, threshold: float,
+                        id_col: str = "doc_id",
+                        n_parts: int = 64,
+                        hot: np.ndarray | None = None) -> pa.Table:
+    """Explode each doc's distinct shingle set into its PREFIX tokens:
+    the p first tokens under the global token order, p = s - ceil(t*s)
+    + 1.  The order is ascending hash with every ``hot`` token ranked
+    AFTER every non-hot token (the AllPairs ascending-df order,
+    approximated) — frequent tokens land in suffixes, so they almost
+    never generate candidate buckets.
+
+    Recall is exactly 1 (AllPairs/ppjoin prefix filter) for ANY fixed
+    total order: for a pair with Jaccard >= t, the minimal common token
+    lies inside BOTH prefixes — if it ranked past x's prefix, the
+    overlap would be <= ceil(t*|x|) - 1, below the ceil(t*|x∪y|) >=
+    ceil(t*|x|) a Jaccard of t forces.  Tokens are hash-routed to
+    ``n_parts`` partition keys so the candidate groupby dispatches
+    O(n_parts) groups (same routing as the LSH band path)."""
+    blobs = batch.column("shingles").to_pylist()
+    if not blobs:
+        return pa.table({"token": pa.array([], pa.int64()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "pkey": pa.array([], pa.int32())})
+    sizes = np.fromiter((len(b) >> 3 for b in blobs), dtype=np.int64,
+                        count=len(blobs))
+    all_t = np.frombuffer(b"".join(blobs), dtype="<u8")
+    doc_idx = np.repeat(np.arange(len(blobs), dtype=np.int64), sizes)
+    if hot is not None and len(hot):
+        is_hot = np.isin(all_t, hot)
+        order = np.lexsort((all_t, is_hot, doc_idx))
+        all_t = all_t[order]
+    p = _prefix_len(sizes, threshold)
+    starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+    pos = np.arange(len(all_t), dtype=np.int64) - np.repeat(starts, sizes)
+    mask = pos < np.repeat(p, sizes)
+    tokens = all_t[mask]
+    ids = np.repeat(
+        batch.column(id_col).to_numpy(zero_copy_only=False), sizes)[mask]
+    pkey = ((tokens * np.uint64(0x9E3779B97F4A7C15))
+            >> np.uint64(40)) % np.uint64(n_parts)
+    return pa.table({
+        "token": pa.array(tokens.view(np.int64)),
+        "doc_id": pa.array(ids, pa.int64()),
+        "pkey": pa.array(pkey.astype(np.int32)),
+    })
+
+
+def pairs_from_token_partition(g: pd.DataFrame,
+                               bucket_cap: int = _BUCKET_CAP
+                               ) -> pd.DataFrame:
+    """map_groups fn over a ``pkey`` partition of (token, doc_id) rows:
+    segment by token with one lexsort, emit each token bucket's unique
+    id pairs via the vectorized/star-capped kernel."""
+    key = g["token"].to_numpy(dtype=np.int64)
+    ids = g["doc_id"].to_numpy(dtype=np.int64)
+    order = np.lexsort((ids, key))
+    key, ids = key[order], ids[order]
+    seg = np.concatenate(
+        ([0], np.nonzero(key[1:] != key[:-1])[0] + 1, [len(ids)]))
+    outs = []
+    for s, e in zip(seg[:-1], seg[1:]):
+        if e - s >= 2:
+            outs.append(candidate_pairs_from_band(
+                pd.DataFrame({"doc_id": ids[s:e]}), bucket_cap))
+    if not outs:
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64")})
+    return pd.concat(outs, ignore_index=True)
+
+
+def verify_candidate_pairs(cand, shing, threshold: float,
+                           num_partitions: int, id_col: str = "doc_id"):
+    """Shared tail of the near-dup pipelines: dedupe candidate (a, b)
+    rows with one narrow groupby, hash-join each side's distinct
+    shingle blob, verify true Jaccard inside the map task."""
+    from ray.data.aggregate import Count
+
     cand = (cand.groupby(["a", "b"])
             .aggregate(Count(alias_name="_nb"))
             .select_columns(["a", "b"]))
-    shing = sh.select_columns([id_col, "shingles"])
     j = cand.join(shing, "inner", num_partitions,
                   on=("a",), right_on=(id_col,))
     j = j.rename_columns({"shingles": "sh_a"})
@@ -323,6 +469,41 @@ def minhash_neardup(corpus_ds, threshold: float = 0.6, n: int = 3,
     j = j.rename_columns({"shingles": "sh_b"})
     return j.map_batches(jaccard_verify_stage, batch_format="pyarrow",
                          fn_kwargs={"threshold": threshold})
+
+
+def ngram_jaccard_neardup(corpus_ds, threshold: float = 0.5, n: int = 3,
+                          num_partitions: int = 8,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          bucket_cap: int = _BUCKET_CAP,
+                          n_parts: int = 64):
+    """EXACT n-gram Jaccard near-dup: Dataset[id, text] ->
+    Dataset[a, b] of ALL pairs with true word-n-gram Jaccard >=
+    threshold — no probabilistic candidate step.
+
+    Candidates come from the AllPairs/ppjoin prefix filter
+    (recall exactly 1 for any corpus, unlike LSH banding whose recall
+    depends on the band geometry), so this is the operator to reach for
+    when the dedup contract is exact; ``minhash_neardup`` trades that
+    guarantee for a signature table ~10x narrower than the shingle
+    blobs.  Same scale shape as the minhash path: one streamed shingle
+    pass, a narrow (token, doc_id) shuffle of PREFIX tokens only
+    (~(1-t) of each set), candidate dedupe, shingle-blob joins, exact
+    in-task verification.  Star cap bounds hot-token buckets, closure-
+    preserving as in the LSH path."""
+    sh = corpus_ds.map_batches(
+        shingle_set_stage, batch_format="pyarrow", batch_size=256,
+        fn_kwargs={"id_col": id_col, "text_col": text_col, "n": n})
+    sh = sh.materialize()
+    hot = hot_tokens(sh)
+    pref = sh.map_batches(
+        prefix_tokens_stage, batch_format="pyarrow",
+        fn_kwargs={"threshold": threshold, "id_col": id_col,
+                   "n_parts": n_parts, "hot": hot})
+    cand = pref.groupby("pkey").map_groups(
+        lambda g: pairs_from_token_partition(g, bucket_cap),
+        batch_format="pandas")
+    return verify_candidate_pairs(cand, sh, threshold,
+                                  num_partitions, id_col)
 
 
 def ngram_jaccard(t1: str, t2: str, n: int = 5) -> float:

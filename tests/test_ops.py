@@ -402,6 +402,95 @@ def test_minhash_neardup_pipeline_matches_bruteforce(ray_session):
     assert (5, 20) in gp and (7, 33) in gp
 
 
+def test_prefix_len_exact_integer_ceil():
+    """p = s - ceil(t*s) + 1 with an EXACT ceil: float 0.6*5 =
+    3.0000000000000004 so math.ceil would give 4 and shrink the prefix
+    (recall loss); the integer-fraction path must give ceil(3) = 3."""
+    from nipper_ray.ops.dedup import _prefix_len
+
+    p = _prefix_len(np.array([5, 10, 1, 3]), 0.6)
+    assert list(p) == [5 - 3 + 1, 10 - 6 + 1, 1, 3 - 2 + 1]
+    p = _prefix_len(np.array([7, 2]), 0.5)
+    assert list(p) == [7 - 4 + 1, 2 - 1 + 1]
+
+
+def test_prefix_filter_recall_theorem_randomized():
+    """Direct check of the AllPairs theorem the candidate step relies
+    on: for ANY pair of sets with Jaccard >= t, the two prefixes (under
+    the ascending order, and under an adversarial hot-demoted order)
+    share at least one token."""
+    from nipper_ray.ops.dedup import prefix_tokens_stage, shingle_set_stage
+
+    rng = np.random.default_rng(7)
+    vocab = ["w%d" % k for k in range(30)]
+    docs = []
+    for _ in range(60):
+        k = rng.integers(3, 20)
+        docs.append(" ".join(rng.choice(vocab, size=k)))
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+    sh = shingle_set_stage(t, n=3)
+    blobs = [np.frombuffer(b, dtype="<u8")
+             for b in sh.column("shingles").to_pylist()]
+    ids = sh.column("doc_id").to_pylist()
+    all_tok = np.unique(np.concatenate(blobs))
+    for threshold in (0.5, 0.6, 0.8):
+        for hot in (None, all_tok[: len(all_tok) // 2],
+                    all_tok[len(all_tok) // 2:]):
+            pref = prefix_tokens_stage(
+                sh, threshold=threshold, hot=hot)
+            pd_pref = pref.to_pandas()
+            by_doc = {d: set(g["token"].to_numpy(dtype=np.int64)
+                             .view(np.uint64))
+                      for d, g in pd_pref.groupby("doc_id")}
+            for i in range(len(ids)):
+                si = set(blobs[i].tolist())
+                for j in range(i + 1, len(ids)):
+                    sj = set(blobs[j].tolist())
+                    jac = len(si & sj) / len(si | sj)
+                    if jac >= threshold:
+                        assert by_doc[ids[i]] & by_doc[ids[j]], (
+                            "prefix filter missed pair (%s,%s) jac=%.3f"
+                            " t=%.2f" % (ids[i], ids[j], jac, threshold))
+
+
+def test_ngram_jaccard_neardup_matches_bruteforce(ray_session):
+    """EXACT pipeline == brute-force threshold join, including pairs in
+    the 0.5-0.6 zone LSH banding can miss, and with a shared hot phrase
+    across most docs (exercises the hot-token demotion)."""
+    import ray.data as rd
+
+    from nipper_ray.ops.dedup import ngram_jaccard, ngram_jaccard_neardup
+
+    docs = []
+    for i in range(30):
+        docs.append("common hot phrase every doc starts with "
+                    "alpha beta gamma w%d x%d y%d z%d " % (i, i, i, i)
+                    * 3)
+    docs[10] = docs[3] + "small tail tweak here"      # high-jac pair
+    docs[21] = docs[8]                                # exact dup
+    # a mid-similarity pair: share ~55% of shingles
+    docs[25] = docs[12][: len(docs[12]) * 2 // 3] + \
+        " unrelated continuation words keep going different now ok yes"
+    docs.append("one two")                            # dropped (<3 words)
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+    got = ngram_jaccard_neardup(rd.from_arrow(t), threshold=0.5, n=3,
+                                num_partitions=2).to_pandas()
+    gp = sorted(zip(got["a"], got["b"]))
+    want = []
+    for i in range(len(docs)):
+        if len(docs[i].split()) < 3:
+            continue
+        for j in range(i + 1, len(docs)):
+            if len(docs[j].split()) < 3:
+                continue
+            if ngram_jaccard(docs[i], docs[j], 3) >= 0.5:
+                want.append((i, j))
+    assert gp == sorted(want)
+    assert (3, 10) in gp and (8, 21) in gp
+
+
 def test_decontam_stage_kernel():
     """Overlap counting against a benchmark shingle set: exact distinct
     3-gram intersection, integer ppm, short docs dropped."""
