@@ -345,72 +345,91 @@ def _prefix_len(sizes: np.ndarray, threshold: float) -> np.ndarray:
     return s - (num * s + den - 1) // den + 1
 
 
-def hot_tokens(sh, top_k: int = 4096, min_batch_df: int = 2,
-               batch_size: int = 256) -> np.ndarray:
-    """Approximate global hot-token set for the prefix-filter order:
-    per-batch document frequencies (only tokens seen in >= min_batch_df
-    docs of a batch survive the partial — a token able to blow up a
-    candidate bucket is hot in many batches), one narrow (token, df)
-    groupby, top_k by summed df to the driver (a few KB, broadcast).
+_SKETCH_BITS = 20
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
 
-    The prefix filter is recall-1 under ANY fixed global token order,
-    so approximating the classic ascending-df order costs no
-    correctness — only candidate-count optimality."""
+
+def _sketch_bucket(tokens: np.ndarray, bits: int) -> np.ndarray:
+    """Fixed-size hash bucket per uint64 shingle token (top ``bits``
+    of a Fibonacci-mixed hash — a different bit window than the pkey
+    routing so the two hashings are independent)."""
+    return ((tokens * _GOLD) >> np.uint64(64 - bits)).astype(np.int64)
+
+
+def token_df_sketch(sh, bits: int = _SKETCH_BITS,
+                    batch_size: int = 256) -> np.ndarray:
+    """Approximate document-frequency table for the prefix-filter token
+    order: per-batch sparse (bucket, df) partials, one narrow groupby
+    over at most 2**bits keys, densified on the driver into a fixed
+    2**bits int64 array (8 MB at the default — broadcast once per
+    stage regardless of corpus size, unlike the exact (token, df) map,
+    which is unbounded at 100 TB).  Collisions only overestimate a
+    token's df, i.e. perturb the ORDER — the prefix filter is recall-1
+    under ANY fixed total order, so correctness is unaffected; only
+    candidate-count optimality degrades, gracefully, with load
+    factor."""
     from ray.data.aggregate import Sum
 
-    # Dataset-carried token columns are the uint64 hash VIEWED as int64
-    # (bijective): raw uint64 values above 2^63 trip Ray's block
-    # conversion into the pickled-python-objects fallback path.
     def partial(batch: pa.Table) -> pa.Table:
         blobs = batch.column("shingles").to_pylist()
         if not blobs:
-            return pa.table({"token": pa.array([], pa.int64()),
+            return pa.table({"bkt": pa.array([], pa.int64()),
                              "df": pa.array([], pa.int64())})
         all_t = np.frombuffer(b"".join(blobs), dtype="<u8")
-        u, c = np.unique(all_t, return_counts=True)
-        keep = c >= min_batch_df
-        return pa.table({"token": pa.array(u[keep].view(np.int64)),
-                         "df": pa.array(c[keep].astype(np.int64))})
+        c = np.bincount(_sketch_bucket(all_t, bits), minlength=1 << bits)
+        nz = np.flatnonzero(c)
+        return pa.table({"bkt": pa.array(nz, pa.int64()),
+                         "df": pa.array(c[nz], pa.int64())})
 
     agg = (sh.select_columns(["shingles"])
            .map_batches(partial, batch_format="pyarrow",
                         batch_size=batch_size)
-           .groupby("token").aggregate(Sum("df", alias_name="df")))
-    top = agg.sort("df", descending=True).limit(top_k).to_pandas()
-    return np.sort(
-        top["token"].to_numpy(dtype=np.int64).view(np.uint64))
+           .groupby("bkt").aggregate(Sum("df", alias_name="df"))
+           .to_pandas())
+    dense = np.zeros(1 << bits, dtype=np.int64)
+    dense[agg["bkt"].to_numpy(dtype=np.int64)] = \
+        agg["df"].to_numpy(dtype=np.int64)
+    return dense
 
 
 def prefix_tokens_stage(batch: pa.Table, threshold: float,
                         id_col: str = "doc_id",
                         n_parts: int = 64,
-                        hot: np.ndarray | None = None) -> pa.Table:
+                        df_sketch: np.ndarray | None = None,
+                        sketch_bits: int = _SKETCH_BITS) -> pa.Table:
     """Explode each doc's distinct shingle set into its PREFIX tokens:
     the p first tokens under the global token order, p = s - ceil(t*s)
-    + 1.  The order is ascending hash with every ``hot`` token ranked
-    AFTER every non-hot token (the AllPairs ascending-df order,
-    approximated) — frequent tokens land in suffixes, so they almost
-    never generate candidate buckets.
+    + 1.  The order is ascending (sketched df, hash) — the AllPairs
+    ascending-df order with the fixed-size ``token_df_sketch`` standing
+    in for exact global dfs — so frequent tokens land in suffixes and
+    almost never generate candidate buckets.
 
     Recall is exactly 1 (AllPairs/ppjoin prefix filter) for ANY fixed
     total order: for a pair with Jaccard >= t, the minimal common token
     lies inside BOTH prefixes — if it ranked past x's prefix, the
     overlap would be <= ceil(t*|x|) - 1, below the ceil(t*|x∪y|) >=
-    ceil(t*|x|) a Jaccard of t forces.  Tokens are hash-routed to
-    ``n_parts`` partition keys so the candidate groupby dispatches
-    O(n_parts) groups (same routing as the LSH band path)."""
+    ceil(t*|x|) a Jaccard of t forces.  Each emitted row also carries
+    the token's 0-based POSITION in the doc's fully-ordered set and the
+    set SIZE, feeding the ppjoin positional filter downstream.  Tokens
+    are hash-routed to ``n_parts`` partition keys so the candidate
+    groupby dispatches O(n_parts) groups (same routing as the LSH band
+    path).  Token columns ship as int64 views of the uint64 hash
+    (bijective): raw values above 2^63 trip Ray's block conversion
+    into the pickled-python-objects fallback path."""
     blobs = batch.column("shingles").to_pylist()
     if not blobs:
         return pa.table({"token": pa.array([], pa.int64()),
                          "doc_id": pa.array([], pa.int64()),
+                         "pos": pa.array([], pa.int32()),
+                         "sz": pa.array([], pa.int32()),
                          "pkey": pa.array([], pa.int32())})
     sizes = np.fromiter((len(b) >> 3 for b in blobs), dtype=np.int64,
                         count=len(blobs))
     all_t = np.frombuffer(b"".join(blobs), dtype="<u8")
-    doc_idx = np.repeat(np.arange(len(blobs), dtype=np.int64), sizes)
-    if hot is not None and len(hot):
-        is_hot = np.isin(all_t, hot)
-        order = np.lexsort((all_t, is_hot, doc_idx))
+    if df_sketch is not None:
+        doc_idx = np.repeat(np.arange(len(blobs), dtype=np.int64), sizes)
+        df = df_sketch[_sketch_bucket(all_t, sketch_bits)]
+        order = np.lexsort((all_t, df, doc_idx))
         all_t = all_t[order]
     p = _prefix_len(sizes, threshold)
     starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
@@ -419,48 +438,105 @@ def prefix_tokens_stage(batch: pa.Table, threshold: float,
     tokens = all_t[mask]
     ids = np.repeat(
         batch.column(id_col).to_numpy(zero_copy_only=False), sizes)[mask]
-    pkey = ((tokens * np.uint64(0x9E3779B97F4A7C15))
-            >> np.uint64(40)) % np.uint64(n_parts)
+    pkey = ((tokens * _GOLD) >> np.uint64(40)) % np.uint64(n_parts)
     return pa.table({
         "token": pa.array(tokens.view(np.int64)),
         "doc_id": pa.array(ids, pa.int64()),
+        "pos": pa.array(pos[mask].astype(np.int32)),
+        "sz": pa.array(np.repeat(sizes, sizes)[mask].astype(np.int32)),
         "pkey": pa.array(pkey.astype(np.int32)),
     })
 
 
-def pairs_from_token_partition(g: pd.DataFrame,
+def pairs_from_token_partition(g: pd.DataFrame, threshold: float,
                                bucket_cap: int = _BUCKET_CAP
                                ) -> pd.DataFrame:
-    """map_groups fn over a ``pkey`` partition of (token, doc_id) rows:
-    segment by token with one lexsort, emit each token bucket's unique
-    id pairs via the vectorized/star-capped kernel."""
+    """map_groups fn over a ``pkey`` partition of (token, doc_id, pos,
+    sz) rows: segment by token with one lexsort, emit each token
+    bucket's id pairs that survive the ppjoin POSITIONAL filter —
+    a pair sharing this token at positions (i, j) of sets sized
+    (sa, sb) can overlap at most min(sa-i, sb-j), so it is pruned
+    when that bound is under alpha = ceil(t/(1+t) * (sa+sb)), the
+    overlap a Jaccard of t forces.
+
+    Recall stays exactly 1 at the PAIR level: a qualifying pair's
+    first common token w (under the global order) has all o common
+    tokens ranked >= w in both sets, so min(sa-i, sb-j) >= o >= alpha
+    — the emission at w always passes even if emissions at later
+    shared tokens are pruned.  Buckets above ``bucket_cap`` fall back
+    to the unfiltered star emission (k-1 pairs to the min id), which
+    preserves the transitive closure as in the LSH path."""
+    from fractions import Fraction
+
+    fr = Fraction(str(threshold))
+    num, den = fr.numerator, fr.denominator
     key = g["token"].to_numpy(dtype=np.int64)
     ids = g["doc_id"].to_numpy(dtype=np.int64)
+    pos = g["pos"].to_numpy(dtype=np.int64)
+    sz = g["sz"].to_numpy(dtype=np.int64)
     order = np.lexsort((ids, key))
-    key, ids = key[order], ids[order]
+    key, ids, pos, sz = key[order], ids[order], pos[order], sz[order]
     seg = np.concatenate(
         ([0], np.nonzero(key[1:] != key[:-1])[0] + 1, [len(ids)]))
-    outs = []
+    outs_a, outs_b = [], []
     for s, e in zip(seg[:-1], seg[1:]):
-        if e - s >= 2:
-            outs.append(candidate_pairs_from_band(
-                pd.DataFrame({"doc_id": ids[s:e]}), bucket_cap))
-    if not outs:
+        k = e - s
+        if k < 2:
+            continue
+        if k > bucket_cap:
+            star = candidate_pairs_from_band(
+                pd.DataFrame({"doc_id": ids[s:e]}), bucket_cap)
+            outs_a.append(star["a"].to_numpy(dtype=np.int64))
+            outs_b.append(star["b"].to_numpy(dtype=np.int64))
+            continue
+        iu, ju = np.triu_indices(k, k=1)
+        a, b = ids[s:e][iu], ids[s:e][ju]
+        sa, sb = sz[s:e][iu], sz[s:e][ju]
+        ub = np.minimum(sa - pos[s:e][iu], sb - pos[s:e][ju])
+        alpha = -((-num * (sa + sb)) // (num + den))
+        keep = (a != b) & (ub >= alpha)
+        outs_a.append(a[keep])
+        outs_b.append(b[keep])
+    if not outs_a:
         return pd.DataFrame({"a": pd.Series([], dtype="int64"),
                              "b": pd.Series([], dtype="int64")})
-    return pd.concat(outs, ignore_index=True)
+    return pd.DataFrame({"a": np.concatenate(outs_a),
+                         "b": np.concatenate(outs_b)})
+
+
+def _pair_route_stage(batch: pa.Table, n_parts: int = 64) -> pa.Table:
+    """Attach a pair-hash routing key so emission dedupe runs as
+    ``n_parts`` vectorized group tasks instead of one Ray aggregate
+    group per distinct (a, b) — the latter is quadratically slower at
+    hundreds of thousands of size-~1 groups."""
+    a = batch.column("a").to_numpy(zero_copy_only=False).astype(np.uint64)
+    b = batch.column("b").to_numpy(zero_copy_only=False).astype(np.uint64)
+    h = ((a * _GOLD) ^ (b * np.uint64(0xC2B2AE3D27D4EB4F)))
+    return batch.append_column(
+        "dpkey", pa.array(((h >> np.uint64(33)) % np.uint64(n_parts))
+                          .astype(np.int32)))
+
+
+def _uniq_pairs_group(g: pd.DataFrame) -> pd.DataFrame:
+    a = g["a"].to_numpy(dtype=np.int64)
+    b = g["b"].to_numpy(dtype=np.int64)
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    keep = np.concatenate(
+        ([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
+    return pd.DataFrame({"a": a[keep], "b": b[keep]})
 
 
 def verify_candidate_pairs(cand, shing, threshold: float,
-                           num_partitions: int, id_col: str = "doc_id"):
+                           num_partitions: int, id_col: str = "doc_id",
+                           n_parts: int = 64):
     """Shared tail of the near-dup pipelines: dedupe candidate (a, b)
-    rows with one narrow groupby, hash-join each side's distinct
-    shingle blob, verify true Jaccard inside the map task."""
-    from ray.data.aggregate import Count
-
-    cand = (cand.groupby(["a", "b"])
-            .aggregate(Count(alias_name="_nb"))
-            .select_columns(["a", "b"]))
+    emissions with a routed vectorized unique, hash-join each side's
+    distinct shingle blob, verify true Jaccard inside the map task."""
+    cand = (cand.map_batches(_pair_route_stage, batch_format="pyarrow",
+                             fn_kwargs={"n_parts": n_parts})
+            .groupby("dpkey")
+            .map_groups(_uniq_pairs_group, batch_format="pandas"))
     j = cand.join(shing, "inner", num_partitions,
                   on=("a",), right_on=(id_col,))
     j = j.rename_columns({"shingles": "sh_a"})
@@ -486,21 +562,22 @@ def ngram_jaccard_neardup(corpus_ds, threshold: float = 0.5, n: int = 3,
     when the dedup contract is exact; ``minhash_neardup`` trades that
     guarantee for a signature table ~10x narrower than the shingle
     blobs.  Same scale shape as the minhash path: one streamed shingle
-    pass, a narrow (token, doc_id) shuffle of PREFIX tokens only
-    (~(1-t) of each set), candidate dedupe, shingle-blob joins, exact
+    pass, a narrow (token, doc_id, pos, sz) shuffle of PREFIX tokens
+    only (~(1-t) of each set, positions feeding the ppjoin positional
+    filter), routed candidate dedupe, shingle-blob joins, exact
     in-task verification.  Star cap bounds hot-token buckets, closure-
     preserving as in the LSH path."""
     sh = corpus_ds.map_batches(
         shingle_set_stage, batch_format="pyarrow", batch_size=256,
         fn_kwargs={"id_col": id_col, "text_col": text_col, "n": n})
     sh = sh.materialize()
-    hot = hot_tokens(sh)
+    sketch = token_df_sketch(sh)
     pref = sh.map_batches(
         prefix_tokens_stage, batch_format="pyarrow",
         fn_kwargs={"threshold": threshold, "id_col": id_col,
-                   "n_parts": n_parts, "hot": hot})
+                   "n_parts": n_parts, "df_sketch": sketch})
     cand = pref.groupby("pkey").map_groups(
-        lambda g: pairs_from_token_partition(g, bucket_cap),
+        lambda g: pairs_from_token_partition(g, threshold, bucket_cap),
         batch_format="pandas")
     return verify_candidate_pairs(cand, sh, threshold,
                                   num_partitions, id_col)

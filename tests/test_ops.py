@@ -415,11 +415,14 @@ def test_prefix_len_exact_integer_ceil():
 
 
 def test_prefix_filter_recall_theorem_randomized():
-    """Direct check of the AllPairs theorem the candidate step relies
-    on: for ANY pair of sets with Jaccard >= t, the two prefixes (under
-    the ascending order, and under an adversarial hot-demoted order)
-    share at least one token."""
-    from nipper_ray.ops.dedup import prefix_tokens_stage, shingle_set_stage
+    """Direct check of the combined prefix + positional filter the
+    candidate step relies on: for ANY pair of sets with Jaccard >= t,
+    at least one token survives into BOTH prefixes AND its positional
+    emission passes — under the hash order, the real df-sketch order,
+    and adversarial random-sketch orders."""
+    from nipper_ray.ops.dedup import (pairs_from_token_partition,
+                                      prefix_tokens_stage,
+                                      shingle_set_stage)
 
     rng = np.random.default_rng(7)
     vocab = ["w%d" % k for k in range(30)]
@@ -433,25 +436,27 @@ def test_prefix_filter_recall_theorem_randomized():
     blobs = [np.frombuffer(b, dtype="<u8")
              for b in sh.column("shingles").to_pylist()]
     ids = sh.column("doc_id").to_pylist()
-    all_tok = np.unique(np.concatenate(blobs))
+    sketches = [None,
+                rng.integers(0, 50, size=1 << 20).astype(np.int64),
+                rng.integers(0, 3, size=1 << 20).astype(np.int64)]
     for threshold in (0.5, 0.6, 0.8):
-        for hot in (None, all_tok[: len(all_tok) // 2],
-                    all_tok[len(all_tok) // 2:]):
+        for sk in sketches:
             pref = prefix_tokens_stage(
-                sh, threshold=threshold, hot=hot)
-            pd_pref = pref.to_pandas()
-            by_doc = {d: set(g["token"].to_numpy(dtype=np.int64)
-                             .view(np.uint64))
-                      for d, g in pd_pref.groupby("doc_id")}
+                sh, threshold=threshold, df_sketch=sk)
+            pdf = pref.to_pandas()
+            got = pairs_from_token_partition(pdf, threshold)
+            gp = set(zip(got["a"], got["b"]))
             for i in range(len(ids)):
                 si = set(blobs[i].tolist())
                 for j in range(i + 1, len(ids)):
                     sj = set(blobs[j].tolist())
                     jac = len(si & sj) / len(si | sj)
                     if jac >= threshold:
-                        assert by_doc[ids[i]] & by_doc[ids[j]], (
-                            "prefix filter missed pair (%s,%s) jac=%.3f"
-                            " t=%.2f" % (ids[i], ids[j], jac, threshold))
+                        assert (min(ids[i], ids[j]),
+                                max(ids[i], ids[j])) in gp, (
+                            "candidate filter missed pair (%s,%s) "
+                            "jac=%.3f t=%.2f" % (ids[i], ids[j], jac,
+                                                 threshold))
 
 
 def test_ngram_jaccard_neardup_matches_bruteforce(ray_session):
