@@ -10,9 +10,10 @@
  * SAME accumulated Tree.errors strings in order — or returns None and
  * the caller falls back to the pure-Python machine.  The subset is the
  * common path plus the misnested-formatting error paths (the full
- * WHATWG adoption agency and stray-end-tag recovery run natively);
- * templates / select / frameset / foreign content / foster parenting
- * (including the agency's foster arm) abort.  Differential tests
+ * WHATWG adoption agency, stray-end-tag recovery and FOSTER PARENTING
+ * — fostered text/elements, reconstruction-under-foster and the
+ * agency's foster arm — run natively); templates / select / frameset
+ * / foreign content abort.  Differential tests
  * (tests/test_fastlane_differential.py) pin the equivalence.
  *
  * Reference for observable semantics: /root/reference/src/document.rs
@@ -353,11 +354,14 @@ typedef struct {
     /* pending text run */
     PyObject *pend;            /* list of str chunks, or NULL */
     int pend_parent;
+    int pend_before;           /* insert before this sibling (-1 append) —
+                                * set by fostered text runs */
     int pend_merge;            /* existing TEXT node id to merge into, or -1 */
 
     int foster;                /* table anything-else delegation: an
-                                * insert whose target is tableish would
-                                * foster-parent (a parse error) => abort */
+                                * insert whose target is tableish
+                                * foster-parents (a parse error),
+                                * mirroring treebuilder._insertion_point */
     PyObject *tt;              /* pending table text chunks, or NULL */
 
     PyObject *errors;          /* accumulated parse errors (lazy list;
@@ -393,6 +397,24 @@ static int parse_error_tag(P *p, const char *pfx, PyObject *name)
         return -1;
     r = PyList_Append(p->errors, msg);
     Py_DECREF(msg);
+    return r;
+}
+
+/* treebuilder.parse_error with a fixed message string */
+static int parse_error_str(P *p, const char *msg)
+{
+    PyObject *m;
+    int r;
+    if (p->errors == NULL) {
+        p->errors = PyList_New(0);
+        if (p->errors == NULL)
+            return -1;
+    }
+    m = PyUnicode_FromString(msg);
+    if (m == NULL)
+        return -1;
+    r = PyList_Append(p->errors, m);
+    Py_DECREF(m);
     return r;
 }
 
@@ -450,6 +472,24 @@ static void link_append(P *p, int parent_id, int child_id)
     parent->last_child = child_id;
     child->parent = parent_id;
     child->next = -1;
+}
+
+/* dom.Tree.insert_before(before_id, child_id) */
+static void link_insert_before(P *p, int before_id, int child_id)
+{
+    CNode *ref = NODE(p, before_id);
+    CNode *child = NODE(p, child_id);
+    int parent_id = ref->parent;
+    CNode *parent = NODE(p, parent_id);
+    int prev = ref->prev;
+    child->parent = parent_id;
+    child->next = before_id;
+    child->prev = prev;
+    if (prev == -1)
+        parent->first_child = child_id;
+    else
+        NODE(p, prev)->next = child_id;
+    ref->prev = child_id;
 }
 
 /* dom.Tree.remove_from_parent */
@@ -668,6 +708,37 @@ static int afe_push_noah(P *p, int el, int tok, PyObject *name, PyObject *attrs)
 #define TABLEISH(tok) ((tok) == T_TABLE || (tok) == T_TBTFTH || (tok) == T_TR)
 static int cur_top(P *p);
 
+/* treebuilder._insertion_point, foster branch (template-free: the
+ * subset aborts before any template can reach the open stack).
+ * Emits the "foster-parenting" parse error exactly where the Python
+ * machine does (once per fostered insertion). */
+static int foster_point(P *p, int *parent, int *before)
+{
+    int last_table = -1, i;
+    CHECK(parse_error_str(p, "foster-parenting"));
+    for (i = p->n_open - 1; i >= 0; i--)
+        if (p->open[i].tok == T_TABLE) {
+            last_table = i;
+            break;
+        }
+    if (last_table == -1) {
+        *parent = p->open[0].id;
+        *before = -1;
+        return 0;
+    }
+    {
+        int table_id = p->open[last_table].id;
+        if (NODE(p, table_id)->parent != -1) {
+            *parent = NODE(p, table_id)->parent;
+            *before = table_id;
+        } else {
+            *parent = p->open[last_table - 1].id;
+            *before = -1;
+        }
+    }
+    return 0;
+}
+
 static int flush_text(P *p)
 {
     PyObject *s;
@@ -698,29 +769,44 @@ static int flush_text(P *p)
             return -1;
         }
         t->data = s;
-        link_append(p, p->pend_parent, t->id);
+        if (p->pend_before != -1)
+            link_insert_before(p, p->pend_before, t->id);
+        else
+            link_append(p, p->pend_parent, t->id);
     }
     return 0;
 }
 
-/* queue text for insertion-append under parent (current top's target) */
+/* queue text for insertion under parent (current top's target);
+ * fostered character tokens redirect to the foster point, merging
+ * with the text node already sitting before the table if any
+ * (treebuilder._insert_text, before_id branch) */
 static int pend_text(P *p, int parent, PyObject *s)
 {
+    int before = -1;
     if (p->foster && TABLEISH(p->open[p->n_open - 1].tok)
         && parent == cur_top(p))
-        ABORT(p);  /* fostered character tokens: Python lane */
-    if (p->pend != NULL && p->pend_parent != parent)
+        CHECK(foster_point(p, &parent, &before));
+    if (p->pend != NULL
+        && (p->pend_parent != parent || p->pend_before != before))
         CHECK(flush_text(p));
     if (p->pend == NULL) {
-        CNode *par = NODE(p, parent);
         p->pend = PyList_New(0);
         if (p->pend == NULL)
             return -1;
         p->pend_parent = parent;
+        p->pend_before = before;
         p->pend_merge = -1;
-        if (par->last_child != -1
-            && NODE(p, par->last_child)->kind == K_TEXT)
-            p->pend_merge = par->last_child;
+        if (before != -1) {
+            int prev = NODE(p, before)->prev;
+            if (prev != -1 && NODE(p, prev)->kind == K_TEXT)
+                p->pend_merge = prev;
+        } else {
+            CNode *par = NODE(p, parent);
+            if (par->last_child != -1
+                && NODE(p, par->last_child)->kind == K_TEXT)
+                p->pend_merge = par->last_child;
+        }
     }
     return PyList_Append(p->pend, s);
 }
@@ -734,9 +820,10 @@ static int insert_element(P *p, PyObject *name, PyObject *attrs,
                           int tok, uint16_t flags, int push)
 {
     CNode *el;
-    if (p->foster && TABLEISH(p->open[p->n_open - 1].tok))
-        ABORT(p);  /* foster parenting is a parse error: Python lane */
+    int parent = -1, before = -1;
     CHECK(flush_text(p));
+    if (p->foster && TABLEISH(p->open[p->n_open - 1].tok))
+        CHECK(foster_point(p, &parent, &before));
     el = new_node(p, K_ELEMENT);
     if (el == NULL)
         return -1;
@@ -746,7 +833,10 @@ static int insert_element(P *p, PyObject *name, PyObject *attrs,
     el->ns = g_html_ns;
     Py_INCREF(attrs);
     el->attrs = attrs;
-    link_append(p, cur_top(p), el->id);
+    if (before != -1)
+        link_insert_before(p, before, el->id);
+    else
+        link_append(p, parent != -1 ? parent : cur_top(p), el->id);
     if (push)
         CHECK(open_push(p, el->id, tok, flags));
     return el->id;
@@ -1035,12 +1125,14 @@ static void reset_mode(P *p)
 }
 
 /* treebuilder._flush_table_text: all-whitespace pending runs insert
- * normally; anything else foster-parents (a parse error) => abort */
+ * normally; anything else foster-parents via the in-body rules
+ * (reconstruct-under-foster, then the text — one parse error per
+ * fostered insertion, matching the Python machine exactly) */
 static int flush_table_text(P *p)
 {
     PyObject *s;
     Py_ssize_t i, n;
-    int kind;
+    int kind, nonws = 0;
     const void *data;
     if (p->tt == NULL) {
         p->mode = p->original_mode;
@@ -1061,11 +1153,20 @@ static int flush_table_text(P *p)
     for (i = 0; i < n; i++) {
         Py_UCS4 c = PyUnicode_READ(kind, data, i);
         if (c != '\t' && c != '\n' && c != '\f' && c != ' ') {
-            Py_DECREF(s);
-            ABORT(p);  /* fostered non-ws table text */
+            nonws = 1;
+            break;
         }
     }
-    if (n > 0) {
+    if (nonws) {
+        int r;
+        p->foster = 1;
+        r = reconstruct_afe(p);
+        if (r == 0)
+            r = pend_text(p, cur_top(p), s);
+        p->foster = 0;
+        Py_DECREF(s);
+        CHECK(r);
+    } else if (n > 0) {
         int r = pend_text(p, cur_top(p), s);
         Py_DECREF(s);
         CHECK(r);
@@ -1567,8 +1668,7 @@ static int in_table_start(P *p, const NameEnt *ne, PyObject *name,
     default:
         break;
     }
-    /* anything else: foster-parented in-body processing (a foster
-     * insert is a parse error => insert_element aborts) */
+    /* anything else: foster-parented in-body processing */
     {
         int saved = p->mode, r;
         p->foster = 1;
@@ -1901,8 +2001,6 @@ static int adoption_agency(P *p, int tok, PyObject *name)
             return 0;
         }
         common_ancestor = p->open[si - 1].id;
-        if (TABLEISH(p->open[si - 1].tok))
-            ABORT(p);  /* agency foster-parenting arm: Python lane */
         bookmark = fmt_idx;
         last_node = furthest;
         node_idx = f_oidx;
@@ -1948,7 +2046,18 @@ static int adoption_agency(P *p, int tok, PyObject *name)
             }
         }
         unlink_node(p, last_node);
-        link_append(p, common_ancestor, last_node);
+        if (TABLEISH(p->open[si - 1].tok)) {
+            /* agency foster-parenting arm (treebuilder.py:556-561):
+             * insertion point computed with foster forced on */
+            int fpar, fbef;
+            CHECK(foster_point(p, &fpar, &fbef));
+            if (fbef != -1)
+                link_insert_before(p, fbef, last_node);
+            else
+                link_append(p, fpar, last_node);
+        } else {
+            link_append(p, common_ancestor, last_node);
+        }
         {
             int clone2, old_idx, f2, r;
             int f_tok = p->afe[fmt_idx].tok;
@@ -4006,6 +4115,7 @@ static PyObject *fl_parse(PyObject *self, PyObject *arg)
     p.head_id = -1;
     p.form_id = -1;
     p.pend_parent = -1;
+    p.pend_before = -1;
     p.pend_merge = -1;
     p.mode = M_INITIAL;
     p.original_mode = M_IN_BODY;

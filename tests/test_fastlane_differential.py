@@ -138,6 +138,83 @@ def test_table_soup_differential():
         _check(html, label="table soup %d" % trial)
 
 
+FOSTER_CASES = [
+    # fostered character tokens (non-ws table text)
+    "<table>x<tr><td>y</td></tr></table>",
+    "<table>abc</table>",
+    "<table> x </table>",
+    "<table><tbody>z<tr><td>c</td></tr></tbody></table>",
+    "<table><tr>q<td>c</td></tr></table>",
+    "a<table>b</table>c",
+    "<table>1<table>2</table>3</table>",
+    # fostered text merging with an existing text node before the table
+    "pre<table>mid</table>",
+    "pre<table>one<tr>two<td>x</td></table>",
+    # fostered elements
+    "<table><div>d</div><tr><td>x</td></tr></table>",
+    "<table><b>bold</b><tr><td>x</td></tr></table>",
+    "<table><p>para<tr><td>x</table>",
+    "<table><tr><div>z</div><td>c</td></tr></table>",
+    "<table><tbody><span>s</span><tr><td>c</td></tr></tbody></table>",
+    "<table><br><tr><td>x</td></tr></table>",
+    "<table><img src=u><tr><td>x</td></tr></table>",
+    "<table><hr><tr><td>x</td></tr></table>",
+    # formatting reconstruction under foster (afe active entries)
+    "<b><table>x<tr><td>y</td></tr></table></b>",
+    "<b>1<table>2<td>3</table>4",
+    "<i><table><tr>t<td>c</td></tr></table></i>tail",
+    "<a href=u><table>txt</table></a>",
+    "<b><i><table>deep</table></i></b>",
+    # fostered input (type != hidden) vs in-place hidden
+    "<table><input type=text name=a><tr><td>x</td></tr></table>",
+    "<table><input><tr><td>x</td></tr></table>",
+    "<table><input type=HIDDEN><input type=text><td>x</table>",
+    # adoption agency with a table-ish common ancestor (foster arm)
+    "<table><b><tr><td>x</b>y</td></tr></table>",
+    "<b><table><tr><td>c</td></tr>z</b></table>",
+    "<table><a>1<tr>2</a><td>3</td></tr></table>",
+    # end tags fostering / nested tables (the classic misnest)
+    "<table><tr><td><table>inner</td></tr></table>",
+    "<table><td>a<table>b<td>c</table>d</table>e",
+    "<form><table>x<form><tr><td>y</table>",
+    # table text split across comments / entities
+    "<table>a<!--c-->b<tr><td>x</td></tr></table>",
+    "<table>&amp;<tr><td>x</td></tr></table>",
+    "<table>a&lt;b<td>x</table>",
+]
+
+
+def test_foster_parenting_differential():
+    """Foster parenting in the C lane: non-ws table text, fostered
+    start tags, reconstruction-under-foster, the agency's foster arm
+    and fostered <input> — arena+errors identical to the Python
+    machine (real-web table soup constantly hits these paths)."""
+    handled = 0
+    for html in FOSTER_CASES:
+        if _check(html, label=html):
+            handled += 1
+    # with the foster arm native, the whole battery must ride the lane
+    assert handled == len(FOSTER_CASES), handled
+
+
+def test_foster_soup_differential():
+    """Soup biased to text/formatting interleaved with table structure
+    (the foster-heavy alphabet): abort or arena+errors identical."""
+    rng = random.Random(0xF057E4)
+    atoms = ["<table>", "</table>", "<tr>", "</tr>", "<td>", "</td>",
+             "<tbody>", "</tbody>", "<caption>", "</caption>",
+             "x", "y", " ", "\n", "&amp;", "<!--c-->",
+             "<b>", "</b>", "<i>", "</i>", "<a href=u>", "</a>",
+             "<div>", "</div>", "<p>", "</p>", "<span>", "</span>",
+             "<input>", "<input type=hidden>", "<br>", "<img>",
+             "<form>", "</form>", "<th>", "</th>", "<col>",
+             "<colgroup>", "</colgroup>"]
+    for trial in range(800):
+        html = "".join(rng.choice(atoms)
+                       for _ in range(rng.randrange(1, 50)))
+        _check(html, label="foster soup %d" % trial)
+
+
 def test_synthetic_corpus_no_fallback():
     """Every synthetic crawl page must take the fast lane (this is the
     hot path the lane exists for) and match the Python machine."""
