@@ -10,10 +10,12 @@
  * SAME accumulated Tree.errors strings in order — or returns None and
  * the caller falls back to the pure-Python machine.  The subset is the
  * common path plus the misnested-formatting error paths (the full
- * WHATWG adoption agency, stray-end-tag recovery and FOSTER PARENTING
+ * WHATWG adoption agency, stray-end-tag recovery, FOSTER PARENTING
  * — fostered text/elements, reconstruction-under-foster and the
- * agency's foster arm — run natively); templates / select / frameset
- * / foreign content abort.  Differential tests
+ * agency's foster arm — and FOREIGN CONTENT — svg/mathml ns'd
+ * inserts, tag/attr case adjustment, xlink/xml attrs, CDATA
+ * sections, breakout tags, integration points — all run natively);
+ * templates / select / frameset abort.  Differential tests
  * (tests/test_fastlane_differential.py) pin the equivalence.
  *
  * Reference for observable semantics: /root/reference/src/document.rs
@@ -63,6 +65,14 @@
 #define F_IGB 0x0080u     /* ignored start tag in body */
 #define F_LSC 0x0100u     /* ol/ul: list-item scope boundary */
 #define F_ADP 0x0200u     /* address/div/p (li/dd/dt walk exception) */
+#define F_NS_SVG 0x0800u     /* open entry: element in the SVG ns */
+#define F_NS_MATHML 0x1000u  /* open entry: element in the MathML ns */
+#define F_MTEXT_IP 0x2000u   /* mathml text integration pt (mi/mo/mn/ms/mtext) */
+#define F_HTML_IP 0x4000u    /* html integration pt (svg fO/desc/title,
+                              * annotation-xml w/ html encoding) */
+#define F_ANNOT_XML 0x8000u  /* mathml annotation-xml (svg-start exception) */
+#define F_FBRK 0x10000u      /* NameEnt: FOREIGN_BREAKOUT member */
+#define F_NS_FOREIGN (F_NS_SVG | F_NS_MATHML)
 #define F_SCOPEB 0x0400u  /* DEFAULT_SCOPE boundary reachable in the
                            * subset: html, table, td, th, caption */
 
@@ -73,10 +83,13 @@ enum {
     T_SCRIPT, T_STYLE, T_NOFRAMES, T_TITLE, T_HEADVOID, T_OPTION,
     T_OPTGROUP, T_RB, T_RTC, T_RPRT, T_RUBY, T_APPLETG, T_TEMPLATE,
     T_FMTG, T_TABLE, T_CAPTION, T_COL, T_COLGROUP, T_TBTFTH, T_TDTH,
-    T_TR,
+    T_TR, T_MATH, T_SVG,
+    T_FOREIGN,  /* open-entry tok for foreign-ns elements: matches no
+                 * html tok, mirroring the ns == HTML_NS guards on every
+                 * Python scope/pop/implied-end name comparison */
 };
 
-typedef struct { const char *name; uint8_t len; uint8_t tok; uint16_t flags; } NameEnt;
+typedef struct { const char *name; uint8_t len; uint8_t tok; uint32_t flags; } NameEnt;
 
 /* alphabetically sorted for bsearch */
 static const NameEnt NAMES[] = {
@@ -86,29 +99,29 @@ static const NameEnt NAMES[] = {
     {"area", 4, T_VOIDB, F_SP},
     {"article", 7, T_OTHER, F_SP | F_BC},
     {"aside", 5, T_OTHER, F_SP | F_BC},
-    {"b", 1, T_FMTG, F_FMT},
+    {"b", 1, T_FMTG, F_FMT | F_FBRK},
     {"base", 4, T_HEADVOID, F_SP | F_IH},
     {"basefont", 8, T_HEADVOID, F_SP | F_IH},
     {"bgsound", 7, T_HEADVOID, F_SP | F_IH},
-    {"big", 3, T_FMTG, F_FMT},
-    {"blockquote", 10, T_OTHER, F_SP | F_BC},
-    {"body", 4, T_BODY, F_SP},
-    {"br", 2, T_BR, F_SP},
+    {"big", 3, T_FMTG, F_FMT | F_FBRK},
+    {"blockquote", 10, T_OTHER, F_SP | F_BC | F_FBRK},
+    {"body", 4, T_BODY, F_SP | F_FBRK},
+    {"br", 2, T_BR, F_SP | F_FBRK},
     {"button", 6, T_BUTTON, F_SP},
     {"caption", 7, T_CAPTION, F_SP | F_IGB | F_SCOPEB},
-    {"center", 6, T_OTHER, F_SP | F_BC},
-    {"code", 4, T_FMTG, F_FMT},
+    {"center", 6, T_OTHER, F_SP | F_BC | F_FBRK},
+    {"code", 4, T_FMTG, F_FMT | F_FBRK},
     {"col", 3, T_COL, F_SP | F_IGB},
     {"colgroup", 8, T_COLGROUP, F_SP | F_IGB},
-    {"dd", 2, T_DD, F_SP | F_IMP},
+    {"dd", 2, T_DD, F_SP | F_IMP | F_FBRK},
     {"details", 7, T_OTHER, F_SP | F_BC},
     {"dialog", 6, T_OTHER, F_BC},
     {"dir", 3, T_OTHER, F_SP | F_BC},
-    {"div", 3, T_OTHER, F_SP | F_BC | F_ADP},
-    {"dl", 2, T_OTHER, F_SP | F_BC},
-    {"dt", 2, T_DT, F_SP | F_IMP},
-    {"em", 2, T_FMTG, F_FMT},
-    {"embed", 5, T_VOIDB, F_SP},
+    {"div", 3, T_OTHER, F_SP | F_BC | F_ADP | F_FBRK},
+    {"dl", 2, T_OTHER, F_SP | F_BC | F_FBRK},
+    {"dt", 2, T_DT, F_SP | F_IMP | F_FBRK},
+    {"em", 2, T_FMTG, F_FMT | F_FBRK},
+    {"embed", 5, T_VOIDB, F_SP | F_FBRK},
     {"fieldset", 8, T_OTHER, F_SP | F_BC},
     {"figcaption", 10, T_OTHER, F_SP | F_BC},
     {"figure", 6, T_OTHER, F_SP | F_BC},
@@ -117,61 +130,64 @@ static const NameEnt NAMES[] = {
     {"form", 4, T_FORM, F_SP},
     {"frame", 5, T_OTHER, F_SP | F_IGB},
     {"frameset", 8, T_OTHER, F_SP | F_ABS},
-    {"h1", 2, T_OTHER, F_SP | F_HD},
-    {"h2", 2, T_OTHER, F_SP | F_HD},
-    {"h3", 2, T_OTHER, F_SP | F_HD},
-    {"h4", 2, T_OTHER, F_SP | F_HD},
-    {"h5", 2, T_OTHER, F_SP | F_HD},
-    {"h6", 2, T_OTHER, F_SP | F_HD},
-    {"head", 4, T_HEAD, F_SP | F_IGB},
+    {"h1", 2, T_OTHER, F_SP | F_HD | F_FBRK},
+    {"h2", 2, T_OTHER, F_SP | F_HD | F_FBRK},
+    {"h3", 2, T_OTHER, F_SP | F_HD | F_FBRK},
+    {"h4", 2, T_OTHER, F_SP | F_HD | F_FBRK},
+    {"h5", 2, T_OTHER, F_SP | F_HD | F_FBRK},
+    {"h6", 2, T_OTHER, F_SP | F_HD | F_FBRK},
+    {"head", 4, T_HEAD, F_SP | F_IGB | F_FBRK},
     {"header", 6, T_OTHER, F_SP | F_BC},
     {"hgroup", 6, T_OTHER, F_SP | F_BC},
-    {"hr", 2, T_HR, F_SP},
+    {"hr", 2, T_HR, F_SP | F_FBRK},
     {"html", 4, T_HTML, F_SP | F_SCOPEB},
-    {"i", 1, T_FMTG, F_FMT},
+    {"i", 1, T_FMTG, F_FMT | F_FBRK},
     {"iframe", 6, T_IFRAME, F_SP},
     {"image", 5, T_IMAGE, 0},
-    {"img", 3, T_VOIDB, F_SP},
+    {"img", 3, T_VOIDB, F_SP | F_FBRK},
     {"input", 5, T_INPUT, F_SP},
     {"keygen", 6, T_VOIDB, F_SP},
-    {"li", 2, T_LI, F_SP | F_IMP},
+    {"li", 2, T_LI, F_SP | F_IMP | F_FBRK},
     {"link", 4, T_HEADVOID, F_SP | F_IH},
-    {"listing", 7, T_PRELIST, F_SP},
+    {"listing", 7, T_PRELIST, F_SP | F_FBRK},
     {"main", 4, T_OTHER, F_SP | F_BC},
     {"marquee", 7, T_APPLETG, F_SP | F_ABS},
-    {"math", 4, T_OTHER, F_ABS},
-    {"menu", 4, T_OTHER, F_SP | F_BC},
-    {"meta", 4, T_HEADVOID, F_SP | F_IH},
+    {"math", 4, T_MATH, 0},
+    {"menu", 4, T_OTHER, F_SP | F_BC | F_FBRK},
+    {"meta", 4, T_HEADVOID, F_SP | F_IH | F_FBRK},
     {"nav", 3, T_OTHER, F_SP | F_BC},
-    {"nobr", 4, T_NOBR, F_FMT},
+    {"nobr", 4, T_NOBR, F_FMT | F_FBRK},
     {"noembed", 7, T_NOEMBED, F_SP},
     {"noframes", 8, T_NOFRAMES, F_SP | F_IH},
     {"noscript", 8, T_NOSCRIPT, F_SP},
     {"object", 6, T_APPLETG, F_SP | F_ABS},
-    {"ol", 2, T_OTHER, F_SP | F_BC | F_LSC},
+    {"ol", 2, T_OTHER, F_SP | F_BC | F_LSC | F_FBRK},
     {"optgroup", 8, T_OPTGROUP, F_IMP},
     {"option", 6, T_OPTION, F_IMP},
-    {"p", 1, T_P, F_SP | F_BC | F_IMP | F_ADP},
+    {"p", 1, T_P, F_SP | F_BC | F_IMP | F_ADP | F_FBRK},
     {"param", 5, T_PST, F_SP},
     {"plaintext", 9, T_OTHER, F_SP | F_ABS},
-    {"pre", 3, T_PRELIST, F_SP},
+    {"pre", 3, T_PRELIST, F_SP | F_FBRK},
     {"rb", 2, T_RB, F_IMP},
     {"rp", 2, T_RPRT, F_IMP},
     {"rt", 2, T_RPRT, F_IMP},
     {"rtc", 3, T_RTC, F_IMP},
-    {"ruby", 4, T_RUBY, 0},
-    {"s", 1, T_FMTG, F_FMT},
+    {"ruby", 4, T_RUBY, F_FBRK},
+    {"s", 1, T_FMTG, F_FMT | F_FBRK},
     {"script", 6, T_SCRIPT, F_SP | F_IH},
     {"section", 7, T_OTHER, F_SP | F_BC},
     {"select", 6, T_OTHER, F_SP | F_ABS},
-    {"small", 5, T_FMTG, F_FMT},
+    {"small", 5, T_FMTG, F_FMT | F_FBRK},
     {"source", 6, T_PST, F_SP},
-    {"strike", 6, T_FMTG, F_FMT},
-    {"strong", 6, T_FMTG, F_FMT},
+    {"span", 4, T_OTHER, F_FBRK},
+    {"strike", 6, T_FMTG, F_FMT | F_FBRK},
+    {"strong", 6, T_FMTG, F_FMT | F_FBRK},
     {"style", 5, T_STYLE, F_SP | F_IH},
+    {"sub", 3, T_OTHER, F_FBRK},
     {"summary", 7, T_OTHER, F_SP | F_BC},
-    {"svg", 3, T_OTHER, F_ABS},
-    {"table", 5, T_TABLE, F_SP | F_SCOPEB},
+    {"sup", 3, T_OTHER, F_FBRK},
+    {"svg", 3, T_SVG, 0},
+    {"table", 5, T_TABLE, F_SP | F_SCOPEB | F_FBRK},
     {"tbody", 5, T_TBTFTH, F_SP | F_IGB},
     {"td", 2, T_TDTH, F_SP | F_IGB | F_SCOPEB},
     {"template", 8, T_TEMPLATE, F_SP | F_IH | F_ABS},
@@ -182,9 +198,10 @@ static const NameEnt NAMES[] = {
     {"title", 5, T_TITLE, F_SP | F_IH},
     {"tr", 2, T_TR, F_SP | F_IGB},
     {"track", 5, T_PST, F_SP},
-    {"tt", 2, T_FMTG, F_FMT},
-    {"u", 1, T_FMTG, F_FMT},
-    {"ul", 2, T_OTHER, F_SP | F_BC | F_LSC},
+    {"tt", 2, T_FMTG, F_FMT | F_FBRK},
+    {"u", 1, T_FMTG, F_FMT | F_FBRK},
+    {"ul", 2, T_OTHER, F_SP | F_BC | F_LSC | F_FBRK},
+    {"var", 3, T_OTHER, F_FBRK},
     {"wbr", 3, T_VOIDB, F_SP},
     {"xmp", 3, T_XMP, F_SP},
 };
@@ -327,7 +344,7 @@ static PyObject *intern_name(const uint8_t *s, Py_ssize_t len)
 }
 
 /* ---------------- parser state ---------------- */
-typedef struct { int32_t id; int32_t tok; uint16_t flags; } OpenEnt;
+typedef struct { int32_t id; int32_t tok; uint32_t flags; } OpenEnt;
 typedef struct { int32_t el; int32_t tok; PyObject *name; PyObject *attrs; } AfeEnt;
 
 typedef struct {
@@ -372,6 +389,12 @@ typedef struct {
 
 /* shared singletons, set in setup() */
 static PyObject *g_html_ns = NULL;
+static PyObject *g_svg_ns = NULL;          /* dom.SVG_NS */
+static PyObject *g_mathml_ns = NULL;       /* dom.MATHML_NS */
+static PyObject *g_svg_tag_adj = NULL;     /* treebuilder.SVG_TAG_ADJUST */
+static PyObject *g_svg_attr_adj = NULL;    /* treebuilder.SVG_ATTR_ADJUST */
+static PyObject *g_foreign_attr_adj = NULL;  /* FOREIGN_ATTR_ADJUST */
+static PyObject *NM_definitionURL = NULL;
 static PyObject *g_decode = NULL;          /* entities.decode_charrefs */
 static PyObject *g_lt_str = NULL;          /* "<" */
 static PyObject *g_empty_str = NULL;       /* "" */
@@ -525,7 +548,7 @@ static void reparent_children_c(P *p, int src_id, int dst_id)
 }
 
 /* ---------------- open stack / afe ---------------- */
-static int open_push(P *p, int id, int tok, uint16_t flags)
+static int open_push(P *p, int id, int tok, uint32_t flags)
 {
     if (p->n_open == p->cap_open) {
         int nc = p->cap_open ? p->cap_open * 2 : 32;
@@ -569,7 +592,7 @@ static void open_remove_at(P *p, int i)
     p->n_open--;
 }
 
-static int open_insert_at(P *p, int i, int id, int tok, uint16_t flags)
+static int open_insert_at(P *p, int i, int id, int tok, uint32_t flags)
 {
     if (p->n_open == p->cap_open) {
         int nc = p->cap_open ? p->cap_open * 2 : 32;
@@ -816,8 +839,9 @@ static int cur_top(P *p) { return p->open[p->n_open - 1].id; }  /* NOLINT */
 
 /* insert + (optionally) push.  Steals nothing; attrs ref borrowed
  * (INCREF'd into the node). */
-static int insert_element(P *p, PyObject *name, PyObject *attrs,
-                          int tok, uint16_t flags, int push)
+static int insert_element_ns(P *p, PyObject *name, PyObject *attrs,
+                             int tok, uint32_t flags, int push,
+                             PyObject *ns)
 {
     CNode *el;
     int parent = -1, before = -1;
@@ -829,8 +853,8 @@ static int insert_element(P *p, PyObject *name, PyObject *attrs,
         return -1;
     Py_INCREF(name);
     el->name = name;
-    Py_INCREF(g_html_ns);
-    el->ns = g_html_ns;
+    Py_INCREF(ns);
+    el->ns = ns;
     Py_INCREF(attrs);
     el->attrs = attrs;
     if (before != -1)
@@ -840,6 +864,12 @@ static int insert_element(P *p, PyObject *name, PyObject *attrs,
     if (push)
         CHECK(open_push(p, el->id, tok, flags));
     return el->id;
+}
+
+static int insert_element(P *p, PyObject *name, PyObject *attrs,
+                          int tok, uint32_t flags, int push)
+{
+    return insert_element_ns(p, name, attrs, tok, flags, push, g_html_ns);
 }
 
 /* fresh outer+inner lists sharing name/value strings (mirrors
@@ -947,7 +977,7 @@ static int in_scope_tok(P *p, int tok, int button, int list)
     return 0;
 }
 
-static int in_scope_flag(P *p, uint16_t flag)
+static int in_scope_flag(P *p, uint32_t flag)
 {
     int i;
     for (i = p->n_open - 1; i >= 0; i--) {
@@ -991,7 +1021,7 @@ static int in_table_scope_name(P *p, PyObject *name)
     int i;
     for (i = p->n_open - 1; i >= 0; i--) {
         OpenEnt *e = &p->open[i];
-        if (NODE(p, e->id)->name == name)
+        if (!(e->flags & F_NS_FOREIGN) && NODE(p, e->id)->name == name)
             return 1;
         if (e->tok == T_HTML || e->tok == T_TABLE)
             return 0;
@@ -1030,10 +1060,10 @@ static void pop_until_name(P *p, PyObject *name)
     }
 }
 
-static void pop_until_flag(P *p, uint16_t flag)
+static void pop_until_flag(P *p, uint32_t flag)
 {
     while (p->n_open > 0) {
-        uint16_t f = p->open[--p->n_open].flags;
+        uint32_t f = p->open[--p->n_open].flags;
         if (f & flag)
             return;
     }
@@ -1208,10 +1238,14 @@ static int add_attrs_if_missing(P *p, int nid, PyObject *attrs)
 }
 
 /* ---------------- forward decls ---------------- */
+static int handle_start_html(P *p, const NameEnt *ne, PyObject *name,
+                        PyObject *attrs, int self_closing);
+static int handle_end_html(P *p, const NameEnt *ne, PyObject *name);
 static int handle_start(P *p, const NameEnt *ne, PyObject *name,
                         PyObject *attrs, int self_closing);
 static int handle_end(P *p, const NameEnt *ne, PyObject *name);
 static int handle_chars(P *p, PyObject *s);
+static int adjust_foreign_attrs(PyObject *attrs, int is_svg, int is_math);
 static int in_scope_name(P *p, PyObject *name);
 static int in_body_end(P *p, const NameEnt *ne, PyObject *name);
 static int adoption_agency(P *p, int tok, PyObject *name);
@@ -1356,7 +1390,7 @@ static int in_body_start(P *p, const NameEnt *ne, PyObject *name,
                          PyObject *attrs, int self_closing)
 {
     int tok = ne ? ne->tok : T_OTHER;
-    uint16_t flags = ne ? ne->flags : 0;
+    uint32_t flags = ne ? ne->flags : 0;
     int handled;
 
     if (flags & F_ABS)
@@ -1538,6 +1572,22 @@ static int in_body_start(P *p, const NameEnt *ne, PyObject *name,
             generate_implied(p, NM_rtc);
         CHECK(insert_element(p, name, attrs, tok, flags, 1));
         return 0;
+    case T_MATH:
+    case T_SVG: {
+        /* foreign roots (treebuilder._in_body_start math/svg arms):
+         * case-adjusted attrs, ns'd insert, self-closing pops */
+        int is_svg = (tok == T_SVG);
+        int eid;
+        CHECK(reconstruct_afe(p));
+        CHECK(adjust_foreign_attrs(attrs, is_svg, !is_svg));
+        eid = insert_element_ns(p, name, attrs, T_FOREIGN,
+                                is_svg ? F_NS_SVG : F_NS_MATHML, 1,
+                                is_svg ? g_svg_ns : g_mathml_ns);
+        CHECK(eid);
+        if (self_closing)
+            p->n_open--;
+        return 0;
+    }
     default:
         break;
     }
@@ -1593,7 +1643,7 @@ static int in_table_start(P *p, const NameEnt *ne, PyObject *name,
         Py_DECREF(empty);
         CHECK(r);
         p->mode = M_IN_COLUMN_GROUP;
-        return handle_start(p, ne, name, attrs, self_closing);
+        return handle_start_html(p, ne, name, attrs, self_closing);
     }
     case T_TBTFTH:
         clear_to_table_context(p);
@@ -1611,13 +1661,13 @@ static int in_table_start(P *p, const NameEnt *ne, PyObject *name,
         Py_DECREF(empty);
         CHECK(r);
         p->mode = M_IN_TABLE_BODY;
-        return handle_start(p, ne, name, attrs, self_closing);
+        return handle_start_html(p, ne, name, attrs, self_closing);
     }
     case T_TABLE:
         if (in_table_scope_tok(p, T_TABLE)) {
             pop_until_tok(p, T_TABLE);
             reset_mode(p);
-            return handle_start(p, ne, name, attrs, self_closing);
+            return handle_start_html(p, ne, name, attrs, self_closing);
         }
         return 0;
     case T_STYLE:
@@ -1716,7 +1766,7 @@ static int in_table_end(P *p, const NameEnt *ne, PyObject *name)
 }
 
 /* ---------------- start dispatch ---------------- */
-static int handle_start(P *p, const NameEnt *ne, PyObject *name,
+static int handle_start_html(P *p, const NameEnt *ne, PyObject *name,
                         PyObject *attrs, int self_closing)
 {
     int tok = ne ? ne->tok : T_OTHER;
@@ -1761,14 +1811,14 @@ static int handle_start(P *p, const NameEnt *ne, PyObject *name,
             return 0;
         }
         CHECK(synth_until_start(p, tok));
-        return handle_start(p, ne, name, attrs, self_closing);
+        return handle_start_html(p, ne, name, attrs, self_closing);
     case M_IN_HEAD:
         CHECK(start_in_head(p, ne, name, attrs, self_closing, &handled));
         if (handled)
             return 0;
         p->n_open--;
         p->mode = M_AFTER_HEAD;
-        return handle_start(p, ne, name, attrs, self_closing);
+        return handle_start_html(p, ne, name, attrs, self_closing);
     case M_AFTER_HEAD:
         if (tok == T_HTML)
             return in_body_start(p, ne, name, attrs, self_closing);
@@ -1806,7 +1856,7 @@ static int handle_start(P *p, const NameEnt *ne, PyObject *name,
             CHECK(bid);
         }
         p->mode = M_IN_BODY;
-        return handle_start(p, ne, name, attrs, self_closing);
+        return handle_start_html(p, ne, name, attrs, self_closing);
     case M_IN_BODY:
         return in_body_start(p, ne, name, attrs, self_closing);
     case M_IN_TABLE:
@@ -1819,7 +1869,7 @@ static int handle_start(P *p, const NameEnt *ne, PyObject *name,
                 pop_until_tok(p, T_CAPTION);
                 afe_clear_to_marker(p);
                 p->mode = M_IN_TABLE;
-                return handle_start(p, ne, name, attrs, self_closing);
+                return handle_start_html(p, ne, name, attrs, self_closing);
             }
             return 0;
         }
@@ -1837,7 +1887,7 @@ static int handle_start(P *p, const NameEnt *ne, PyObject *name,
         if (p->open[p->n_open - 1].tok == T_COLGROUP) {
             p->n_open--;
             p->mode = M_IN_TABLE;
-            return handle_start(p, ne, name, attrs, self_closing);
+            return handle_start_html(p, ne, name, attrs, self_closing);
         }
         return 0;
     case M_IN_TABLE_BODY:
@@ -1857,7 +1907,7 @@ static int handle_start(P *p, const NameEnt *ne, PyObject *name,
             Py_DECREF(empty);
             CHECK(r);
             p->mode = M_IN_ROW;
-            return handle_start(p, ne, name, attrs, self_closing);
+            return handle_start_html(p, ne, name, attrs, self_closing);
         }
         if (tok == T_CAPTION || tok == T_COL || tok == T_COLGROUP
             || tok == T_TBTFTH) {
@@ -1865,7 +1915,7 @@ static int handle_start(P *p, const NameEnt *ne, PyObject *name,
                 clear_to_table_body_context(p);
                 p->n_open--;
                 p->mode = M_IN_TABLE;
-                return handle_start(p, ne, name, attrs, self_closing);
+                return handle_start_html(p, ne, name, attrs, self_closing);
             }
             return 0;
         }
@@ -1883,7 +1933,7 @@ static int handle_start(P *p, const NameEnt *ne, PyObject *name,
                 clear_to_row_context(p);
                 p->n_open--;
                 p->mode = M_IN_TABLE_BODY;
-                return handle_start(p, ne, name, attrs, self_closing);
+                return handle_start_html(p, ne, name, attrs, self_closing);
             }
             return 0;
         }
@@ -1893,7 +1943,7 @@ static int handle_start(P *p, const NameEnt *ne, PyObject *name,
             || tok == T_TBTFTH || tok == T_TDTH || tok == T_TR) {
             if (in_table_scope_tok(p, T_TDTH)) {
                 close_cell(p);
-                return handle_start(p, ne, name, attrs, self_closing);
+                return handle_start_html(p, ne, name, attrs, self_closing);
             }
             return 0;
         }
@@ -1903,7 +1953,7 @@ static int handle_start(P *p, const NameEnt *ne, PyObject *name,
         if (tok == T_HTML)
             return in_body_start(p, ne, name, attrs, self_closing);
         p->mode = M_IN_BODY;
-        return handle_start(p, ne, name, attrs, self_closing);
+        return handle_start_html(p, ne, name, attrs, self_closing);
     default:
         ABORT(p);
     }
@@ -1916,7 +1966,9 @@ static int any_other_end(P *p, PyObject *name)
     int i;
     for (i = p->n_open - 1; i >= 0; i--) {
         OpenEnt *e = &p->open[i];
-        if (NODE(p, e->id)->name == name) {
+        /* name match requires ns == HTML (foreign entries are only
+         * special-stops here, treebuilder._any_other_end_tag) */
+        if (!(e->flags & F_NS_FOREIGN) && NODE(p, e->id)->name == name) {
             generate_implied(p, name);
             p->n_open = i;
             return 0;
@@ -2101,7 +2153,7 @@ static int adoption_agency(P *p, int tok, PyObject *name)
 static int in_body_end(P *p, const NameEnt *ne, PyObject *name)
 {
     int tok = ne ? ne->tok : T_OTHER;
-    uint16_t flags = ne ? ne->flags : 0;
+    uint32_t flags = ne ? ne->flags : 0;
 
     switch (tok) {
     case T_TEMPLATE:
@@ -2113,7 +2165,7 @@ static int in_body_end(P *p, const NameEnt *ne, PyObject *name)
     case T_HTML:
         if (in_scope_tok(p, T_BODY, 0, 0)) {
             p->mode = M_AFTER_BODY;
-            return handle_end(p, ne, name);
+            return handle_end_html(p, ne, name);
         }
         return 0;
     case T_BUTTON:
@@ -2200,7 +2252,7 @@ static int in_body_end(P *p, const NameEnt *ne, PyObject *name)
     return any_other_end(p, name);
 }
 
-static int handle_end(P *p, const NameEnt *ne, PyObject *name)
+static int handle_end_html(P *p, const NameEnt *ne, PyObject *name)
 {
     int tok = ne ? ne->tok : T_OTHER;
 
@@ -2217,7 +2269,7 @@ static int handle_end(P *p, const NameEnt *ne, PyObject *name)
         if (tok != T_HEAD && tok != T_BODY && tok != T_HTML && tok != T_BR)
             return 0;
         CHECK(synth_until_start(p, -1));
-        return handle_end(p, ne, name);
+        return handle_end_html(p, ne, name);
     case M_IN_HEAD:
         if (tok == T_HEAD) {
             p->n_open--;
@@ -2230,7 +2282,7 @@ static int handle_end(P *p, const NameEnt *ne, PyObject *name)
             return 0;
         p->n_open--;
         p->mode = M_AFTER_HEAD;
-        return handle_end(p, ne, name);
+        return handle_end_html(p, ne, name);
     case M_AFTER_HEAD:
         if (tok == T_TEMPLATE)
             return 0;
@@ -2246,7 +2298,7 @@ static int handle_end(P *p, const NameEnt *ne, PyObject *name)
             CHECK(bid);
         }
         p->mode = M_IN_BODY;
-        return handle_end(p, ne, name);
+        return handle_end_html(p, ne, name);
     case M_IN_BODY:
         return in_body_end(p, ne, name);
     case M_TEXT:
@@ -2272,7 +2324,7 @@ static int handle_end(P *p, const NameEnt *ne, PyObject *name)
                 pop_until_tok(p, T_CAPTION);
                 afe_clear_to_marker(p);
                 p->mode = M_IN_TABLE;
-                return handle_end(p, ne, name);
+                return handle_end_html(p, ne, name);
             }
             return 0;
         }
@@ -2296,7 +2348,7 @@ static int handle_end(P *p, const NameEnt *ne, PyObject *name)
         if (p->open[p->n_open - 1].tok == T_COLGROUP) {
             p->n_open--;
             p->mode = M_IN_TABLE;
-            return handle_end(p, ne, name);
+            return handle_end_html(p, ne, name);
         }
         return 0;
     case M_IN_TABLE_BODY:
@@ -2313,7 +2365,7 @@ static int handle_end(P *p, const NameEnt *ne, PyObject *name)
                 clear_to_table_body_context(p);
                 p->n_open--;
                 p->mode = M_IN_TABLE;
-                return handle_end(p, ne, name);
+                return handle_end_html(p, ne, name);
             }
             return 0;
         }
@@ -2336,7 +2388,7 @@ static int handle_end(P *p, const NameEnt *ne, PyObject *name)
                 clear_to_row_context(p);
                 p->n_open--;
                 p->mode = M_IN_TABLE_BODY;
-                return handle_end(p, ne, name);
+                return handle_end_html(p, ne, name);
             }
             return 0;
         }
@@ -2346,7 +2398,7 @@ static int handle_end(P *p, const NameEnt *ne, PyObject *name)
                 clear_to_row_context(p);
                 p->n_open--;
                 p->mode = M_IN_TABLE_BODY;
-                return handle_end(p, ne, name);
+                return handle_end_html(p, ne, name);
             }
             return 0;
         }
@@ -2370,7 +2422,7 @@ static int handle_end(P *p, const NameEnt *ne, PyObject *name)
         if (tok == T_TABLE || tok == T_TBTFTH || tok == T_TR) {
             if (in_table_scope_name(p, name)) {
                 close_cell(p);
-                return handle_end(p, ne, name);
+                return handle_end_html(p, ne, name);
             }
             return 0;
         }
@@ -2381,13 +2433,256 @@ static int handle_end(P *p, const NameEnt *ne, PyObject *name)
             return 0;
         }
         p->mode = M_IN_BODY;
-        return handle_end(p, ne, name);
+        return handle_end_html(p, ne, name);
     case M_AFTER_AFTER_BODY:
         p->mode = M_IN_BODY;
-        return handle_end(p, ne, name);
+        return handle_end_html(p, ne, name);
     default:
         ABORT(p);
     }
+}
+
+/* ---------------- foreign content (svg / mathml) ----------------
+ * treebuilder._dispatch_foreign / _foreign_start / _foreign_end.
+ * Foreign open entries carry tok T_FOREIGN (matching Python's
+ * ns == HTML_NS guard on every scope/pop/implied name comparison)
+ * plus F_NS_* / integration-point bits; F_SCOPEB and F_SP are set
+ * exactly for SPECIAL_MATHML / SPECIAL_SVG (ns-aware DEFAULT_SCOPE
+ * and _is_special). */
+
+/* case-insensitive ASCII equality; -1 when either side has a
+ * non-ASCII char (Python's full str.lower() could then diverge from
+ * ASCII lowering => caller aborts to the Python lane) */
+static int ascii_lower_equal(PyObject *a, PyObject *b)
+{
+    Py_ssize_t i, n = PyUnicode_GET_LENGTH(a);
+    int ka, kb;
+    const void *da, *db;
+    if (PyUnicode_GET_LENGTH(b) != n)
+        return 0;
+    ka = PyUnicode_KIND(a);
+    da = PyUnicode_DATA(a);
+    kb = PyUnicode_KIND(b);
+    db = PyUnicode_DATA(b);
+    for (i = 0; i < n; i++) {
+        Py_UCS4 ca = PyUnicode_READ(ka, da, i);
+        Py_UCS4 cb = PyUnicode_READ(kb, db, i);
+        if (ca >= 0x80 || cb >= 0x80)
+            return -1;
+        if (ca >= 'A' && ca <= 'Z')
+            ca += 32;
+        if (cb >= 'A' && cb <= 'Z')
+            cb += 32;
+        if (ca != cb)
+            return 0;
+    }
+    return 1;
+}
+
+/* value.lower() == ascii literal (attr values: encoding=text/html) */
+static int ascii_ieq_lit(PyObject *v, const char *lit)
+{
+    Py_ssize_t i, n = PyUnicode_GET_LENGTH(v);
+    int k = PyUnicode_KIND(v);
+    const void *d = PyUnicode_DATA(v);
+    for (i = 0; i < n; i++) {
+        Py_UCS4 c = PyUnicode_READ(k, d, i);
+        if (lit[i] == '\0')
+            return 0;
+        if (c >= 'A' && c <= 'Z')
+            c += 32;
+        if (c != (Py_UCS4)(unsigned char)lit[i])
+            return 0;
+    }
+    return lit[n] == '\0';
+}
+
+static int uni_eq_lit(PyObject *s, const char *lit)
+{
+    return PyUnicode_CompareWithASCIIString(s, lit) == 0;
+}
+
+/* treebuilder._adjust_foreign_attrs (+ the per-ns case tables):
+ * mutates the scanner's fresh [ns, name, value] lists in place */
+static int adjust_foreign_attrs(PyObject *attrs, int is_svg, int is_math)
+{
+    Py_ssize_t k;
+    for (k = 0; k < PyList_GET_SIZE(attrs); k++) {
+        PyObject *a = PyList_GET_ITEM(attrs, k);
+        PyObject *an = PyList_GET_ITEM(a, 1);
+        PyObject *adj;
+        if (is_svg) {
+            adj = PyDict_GetItemWithError(g_svg_attr_adj, an);
+            if (adj == NULL && PyErr_Occurred())
+                return -1;
+            if (adj != NULL) {
+                Py_INCREF(adj);
+                PyList_SetItem(a, 1, adj);
+                an = adj;
+            }
+        } else if (is_math && uni_eq_lit(an, "definitionurl")) {
+            Py_INCREF(NM_definitionURL);
+            PyList_SetItem(a, 1, NM_definitionURL);
+            an = NM_definitionURL;
+        }
+        adj = PyDict_GetItemWithError(g_foreign_attr_adj, an);
+        if (adj == NULL && PyErr_Occurred())
+            return -1;
+        if (adj != NULL) {
+            /* ("xlink"|"xml"|"xmlns", local) tuple */
+            PyObject *ns2 = PyTuple_GET_ITEM(adj, 0);
+            PyObject *n2 = PyTuple_GET_ITEM(adj, 1);
+            Py_INCREF(ns2);
+            PyList_SetItem(a, 0, ns2);
+            Py_INCREF(n2);
+            PyList_SetItem(a, 1, n2);
+        }
+    }
+    return 0;
+}
+
+/* push-time classification of a foreign element: ns bit +
+ * integration-point / special / scope-boundary bits */
+static uint32_t foreign_entry_flags(PyObject *name, PyObject *attrs,
+                                    int is_svg)
+{
+    uint32_t f = is_svg ? F_NS_SVG : F_NS_MATHML;
+    if (is_svg) {
+        if (uni_eq_lit(name, "foreignObject") || uni_eq_lit(name, "desc")
+            || uni_eq_lit(name, "title"))
+            f |= F_HTML_IP | F_SCOPEB | F_SP;
+    } else {
+        if (uni_eq_lit(name, "mi") || uni_eq_lit(name, "mo")
+            || uni_eq_lit(name, "mn") || uni_eq_lit(name, "ms")
+            || uni_eq_lit(name, "mtext")) {
+            f |= F_MTEXT_IP | F_SCOPEB | F_SP;
+        } else if (uni_eq_lit(name, "annotation-xml")) {
+            Py_ssize_t k;
+            f |= F_ANNOT_XML | F_SCOPEB | F_SP;
+            for (k = 0; k < PyList_GET_SIZE(attrs); k++) {
+                PyObject *a = PyList_GET_ITEM(attrs, k);
+                if (uni_eq_lit(PyList_GET_ITEM(a, 1), "encoding")) {
+                    PyObject *v = PyList_GET_ITEM(a, 2);
+                    if (ascii_ieq_lit(v, "text/html")
+                        || ascii_ieq_lit(v, "application/xhtml+xml"))
+                        f |= F_HTML_IP;
+                }
+            }
+        }
+    }
+    return f;
+}
+
+/* treebuilder._foreign_start */
+static int foreign_start(P *p, const NameEnt *ne, PyObject *name,
+                         PyObject *attrs, int self_closing)
+{
+    uint32_t tf = p->open[p->n_open - 1].flags;
+    int brk = (ne != NULL && (ne->flags & F_FBRK));
+    if (!brk && ne != NULL && ne->tok == T_FMTG && uni_eq_lit(name, "font")) {
+        Py_ssize_t k;
+        for (k = 0; k < PyList_GET_SIZE(attrs); k++) {
+            PyObject *an = PyList_GET_ITEM(PyList_GET_ITEM(attrs, k), 1);
+            if (uni_eq_lit(an, "color") || uni_eq_lit(an, "face")
+                || uni_eq_lit(an, "size")) {
+                brk = 1;
+                break;
+            }
+        }
+    }
+    if (brk) {
+        /* pop to an html node or an integration point, then html rules */
+        while (p->n_open) {
+            uint32_t f2 = p->open[p->n_open - 1].flags;
+            if (!(f2 & F_NS_FOREIGN))
+                break;
+            if (f2 & (F_MTEXT_IP | F_HTML_IP))
+                break;
+            p->n_open--;
+        }
+        return handle_start_html(p, ne, name, attrs, self_closing);
+    }
+    {
+        int is_svg = (tf & F_NS_SVG) != 0;
+        int eid;
+        uint32_t nf;
+        if (is_svg) {
+            PyObject *adj = PyDict_GetItemWithError(g_svg_tag_adj, name);
+            if (adj == NULL && PyErr_Occurred())
+                return -1;
+            if (adj != NULL)
+                name = adj;  /* borrowed; dict keeps it alive */
+        }
+        CHECK(adjust_foreign_attrs(attrs, is_svg, !is_svg));
+        nf = foreign_entry_flags(name, attrs, is_svg);
+        eid = insert_element_ns(p, name, attrs, T_FOREIGN, nf, 1,
+                                is_svg ? g_svg_ns : g_mathml_ns);
+        CHECK(eid);
+        if (self_closing)
+            p->n_open--;
+        return 0;
+    }
+}
+
+/* treebuilder._foreign_end */
+static int foreign_end(P *p, const NameEnt *ne, PyObject *name)
+{
+    int i;
+    for (i = p->n_open - 1; i >= 0; i--) {
+        if (!(p->open[i].flags & F_NS_FOREIGN))
+            return handle_end_html(p, ne, name);
+        {
+            int r = ascii_lower_equal(NODE(p, p->open[i].id)->name, name);
+            if (r < 0)
+                ABORT(p);  /* non-ascii name: full-lower semantics */
+            if (r) {
+                p->n_open = i;
+                return 0;
+            }
+        }
+    }
+    return 0;
+}
+
+/* treebuilder.process_start_tag / process_end_tag: the foreign
+ * dispatch wrappers the scanner drives (reprocessing inside mode
+ * handlers goes straight to the *_html rules, like Python's
+ * _start/_end) */
+static int handle_start(P *p, const NameEnt *ne, PyObject *name,
+                        PyObject *attrs, int self_closing)
+{
+    p->ignore_lf = 0;
+    if (p->done)
+        return 0;
+    if (p->n_open) {
+        uint32_t tf = p->open[p->n_open - 1].flags;
+        if (tf & F_NS_FOREIGN) {
+            int to_html = 0;
+            if (tf & F_MTEXT_IP) {
+                if (!uni_eq_lit(name, "mglyph")
+                    && !uni_eq_lit(name, "malignmark"))
+                    to_html = 1;
+            }
+            if (!to_html && (tf & F_ANNOT_XML) && ne != NULL
+                && ne->tok == T_SVG)
+                to_html = 1;
+            if (!to_html && (tf & F_HTML_IP))
+                to_html = 1;
+            if (!to_html)
+                return foreign_start(p, ne, name, attrs, self_closing);
+        }
+    }
+    return handle_start_html(p, ne, name, attrs, self_closing);
+}
+
+static int handle_end(P *p, const NameEnt *ne, PyObject *name)
+{
+    p->ignore_lf = 0;
+    if (p->done)
+        return 0;
+    if (p->n_open && (p->open[p->n_open - 1].flags & F_NS_FOREIGN))
+        return foreign_end(p, ne, name);
+    return handle_end_html(p, ne, name);
 }
 
 /* ---------------- characters ---------------- */
@@ -2427,6 +2722,14 @@ static int handle_chars(P *p, PyObject *s)
             Py_DECREF(rest);
             return r;
         }
+    }
+    /* foreign-content character tokens (treebuilder._chars, the
+     * ns != HTML branch): direct insert under the foreign node unless
+     * the current node is an integration point */
+    if (p->n_open) {
+        uint32_t tf = p->open[p->n_open - 1].flags;
+        if ((tf & F_NS_FOREIGN) && !(tf & (F_MTEXT_IP | F_HTML_IP)))
+            return pend_text(p, cur_top(p), s);
     }
     switch (p->mode) {
     case M_IN_BODY:
@@ -2658,7 +2961,7 @@ static int in_scope_name(P *p, PyObject *name)
     int i;
     for (i = p->n_open - 1; i >= 0; i--) {
         OpenEnt *e = &p->open[i];
-        if (NODE(p, e->id)->name == name)
+        if (!(e->flags & F_NS_FOREIGN) && NODE(p, e->id)->name == name)
             return 1;
         if (e->flags & F_SCOPEB)
             return 0;
@@ -3201,8 +3504,43 @@ static int run_scanner(P *p)
                 pos = e ? (e - s) + 1 : n;
                 continue;
             }
-            /* <![CDATA[ (needs foreign flag: never set in subset) or
-             * bogus comment: both are parse errors here */
+            /* <![CDATA[ in foreign content: character tokens to "]]>"
+             * (tokenizer._cdata; cdata_ok == current ns != HTML_NS).
+             * Elsewhere it is a bogus comment => parse error => abort */
+            if (i + 8 <= n && memcmp(s + i + 1, "[CDATA[", 7) == 0
+                && p->n_open
+                && (p->open[p->n_open - 1].flags & F_NS_FOREIGN)) {
+                Py_ssize_t a = i + 8, e2 = -1, q = a;
+                PyObject *cm;
+                while (q + 2 < n) {
+                    const uint8_t *rb = memchr(s + q, ']', n - q - 2);
+                    if (rb == NULL)
+                        break;
+                    q = rb - s;
+                    if (s[q + 1] == ']' && s[q + 2] == '>') {
+                        e2 = q;
+                        break;
+                    }
+                    q++;
+                }
+                if (e2 == -1) {
+                    cm = span_str(p, a, n, 0, 0);
+                    pos = n;
+                } else {
+                    cm = span_str(p, a, e2, 0, 0);
+                    pos = e2 + 3;
+                }
+                if (cm == NULL)
+                    return -1;
+                {
+                    int hr = handle_chars(p, cm);
+                    Py_DECREF(cm);
+                    CHECK(hr);
+                }
+                if (p->aborted)
+                    return -1;
+                continue;
+            }
             ABORT(p);
         }
         if (c == '?')
@@ -4162,8 +4500,11 @@ static PyObject *fl_parse(PyObject *self, PyObject *arg)
 static PyObject *fl_setup(PyObject *self, PyObject *args)
 {
     PyObject *decode, *html_ns, *node_from_state;
+    PyObject *svg_ns, *mathml_ns, *svg_tag, *svg_attr, *foreign_attr;
     (void)self;
-    if (!PyArg_ParseTuple(args, "OOO", &decode, &html_ns, &node_from_state))
+    if (!PyArg_ParseTuple(args, "OOOOOOOO", &decode, &html_ns,
+                          &node_from_state, &svg_ns, &mathml_ns,
+                          &svg_tag, &svg_attr, &foreign_attr))
         return NULL;
     Py_INCREF(decode);
     Py_XSETREF(g_decode, decode);
@@ -4171,6 +4512,22 @@ static PyObject *fl_setup(PyObject *self, PyObject *args)
     Py_XSETREF(g_html_ns, html_ns);
     Py_INCREF(node_from_state);
     Py_XSETREF(g_node_from_state, node_from_state);
+    Py_INCREF(svg_ns);
+    Py_XSETREF(g_svg_ns, svg_ns);
+    Py_INCREF(mathml_ns);
+    Py_XSETREF(g_mathml_ns, mathml_ns);
+    Py_INCREF(svg_tag);
+    Py_XSETREF(g_svg_tag_adj, svg_tag);
+    Py_INCREF(svg_attr);
+    Py_XSETREF(g_svg_attr_adj, svg_attr);
+    Py_INCREF(foreign_attr);
+    Py_XSETREF(g_foreign_attr_adj, foreign_attr);
+    if (NM_definitionURL == NULL) {
+        NM_definitionURL = PyUnicode_FromString("definitionURL");
+        if (NM_definitionURL == NULL)
+            return NULL;
+        PyUnicode_InternInPlace(&NM_definitionURL);
+    }
     if (g_lt_str == NULL) {
         g_lt_str = PyUnicode_FromString("<");
         g_empty_str = PyUnicode_FromString("");
@@ -4214,7 +4571,8 @@ static PyObject *fl_setup(PyObject *self, PyObject *args)
 
 static PyMethodDef fl_methods[] = {
     {"setup", fl_setup, METH_VARARGS,
-     "setup(decode_charrefs, html_ns, node_from_state)"},
+     "setup(decode, html_ns, node_from_state, svg_ns, mathml_ns, "
+     "svg_tag_adj, svg_attr_adj, foreign_attr_adj)"},
     {"parse", fl_parse, METH_O,
      "parse(utf8_bytes) -> arena node list, or None to fall back"},
     {"compile_program", fl_compile_program, METH_O,

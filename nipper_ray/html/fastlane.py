@@ -53,9 +53,12 @@ def _build():
     loader.exec_module(mod)
 
     from .. import dom
+    from . import treebuilder as tb
     from .entities import decode_charrefs
 
-    mod.setup(decode_charrefs, dom.HTML_NS, dom._node_from_state)
+    mod.setup(decode_charrefs, dom.HTML_NS, dom._node_from_state,
+              dom.SVG_NS, dom.MATHML_NS, tb.SVG_TAG_ADJUST,
+              tb.SVG_ATTR_ADJUST, tb.FOREIGN_ATTR_ADJUST)
     return mod
 
 

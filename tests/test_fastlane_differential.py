@@ -215,6 +215,138 @@ def test_foster_soup_differential():
         _check(html, label="foster soup %d" % trial)
 
 
+FOREIGN_CASES = [
+    # basic svg/math subtrees, self-closing foreign tags
+    "<svg><circle cx=1 r=2/><rect/></svg>after",
+    "<svg><g><path d=M0></g></svg>",
+    "<math><mrow><mi>x</mi><mo>+</mo><mn>1</mn></mrow></math>",
+    "<svg/>text",
+    "<math/>x",
+    "<p>a<svg><circle/>inner</svg>b</p>",
+    # tag & attribute case adjustment
+    "<svg><lineargradient id=g><stop/></lineargradient></svg>",
+    "<svg><clippath><textpath/></clippath></svg>",
+    "<svg><fegaussianblur stddeviation=2/></svg>",
+    "<svg viewbox='0 0 1 1' preserveaspectratio=meet><rect/></svg>",
+    "<svg><animatetransform attributename=x repeatcount=2/></svg>",
+    # namespaced attribute adjustment
+    "<svg><a xlink:href=u xlink:title=t>link</a></svg>",
+    "<math xml:lang=en xml:space=preserve><mi>v</mi></math>",
+    "<math><semantics definitionurl=d></semantics></math>",
+    "<svg xmlns='http://www.w3.org/2000/svg' xmlns:xlink=xl><g/></svg>",
+    # text, entities, comments inside foreign content
+    "<svg>plain text</svg>",
+    "<svg>&amp; &lt;esc&gt;</svg>",
+    "<svg><!--note--><circle/></svg>",
+    "<svg><text>label</text></svg>",
+    # CDATA sections (foreign only)
+    "<svg><![CDATA[x < y & z]]></svg>",
+    "<svg><![CDATA[a]]b]]><rect/></svg>",
+    "<svg><![CDATA[unterminated tail",
+    "<svg><![CDATA[]]></svg>",
+    "<math><mi><![CDATA[q]]></mi></math>",
+    # rcdata/rawtext names are ORDINARY elements in foreign content
+    "<svg><script>var x=1;</script></svg>",
+    "<svg><style>.a{}</style></svg>",
+    "<svg><title>t<rect/></title></svg>",
+    # HTML integration points
+    "<svg><foreignObject><div>html</div></foreignObject></svg>",
+    "<svg><foreignobject><p>p1<p>p2</foreignobject></svg>",
+    "<svg><desc><b>bold</b>text</desc></svg>",
+    "<svg><desc><table><tr><td>c</td></tr></table></desc></svg>",
+    "<math><annotation-xml encoding=text/html><p>para</p>"
+    "</annotation-xml></math>",
+    "<math><annotation-xml encoding=APPLICATION/XHTML+XML><div>d"
+    "</div></annotation-xml></math>",
+    "<math><annotation-xml><svg><circle/></svg></annotation-xml></math>",
+    # MathML text integration points
+    "<math><mtext><b>bold</b></mtext></math>",
+    "<math><mi>x<mglyph/></mi></math>",
+    "<math><mo><malignmark/></mo></math>",
+    "<math><ms><svg><rect/></svg></ms></math>",
+    # breakout tags
+    "<svg><div>d</div>rest",
+    "<svg><g><h1>heading",
+    "<svg>a<b>c</b>",
+    "<svg><font color=red>x</font>",
+    "<svg><font size=1>y",
+    "<svg><font nosuch=1>kept</font></svg>",
+    "<math><mi><table><tr><td>t</td></tr></table>",
+    "<svg><p>breakout</p></svg>text",
+    "<svg><img src=u>",
+    "<svg><br>",
+    "<svg><span>s</span>",
+    "<svg><var>v</var>",
+    # non-breakout html-looking names stay foreign
+    "<svg><tbody>x</tbody></svg>",
+    "<svg><option>o</option></svg>done",
+    "<svg><section>s</section></svg>",
+    "<svg><form><input></form></svg>",
+    # foreign end-tag matching (case-insensitive vs adjusted names)
+    "<svg><g><circle></g></svg>",
+    "<svg><clippath></clipPath>after",
+    "<svg><foreignObject></FOREIGNOBJECT>tail",
+    "<svg><g>unclosed",
+    "<svg></p></svg>x",
+    "<svg><g></div></g></svg>",
+    # nesting foreign roots
+    "<math><mi><svg><rect/></svg></mi></math>",
+    "<svg><desc><svg><circle/></svg></desc></svg>",
+    "<svg><desc><math><mi>m</mi></math></desc></svg>",
+    # foster parenting x foreign
+    "<table><svg><circle/></svg><tr><td>x</td></tr></table>",
+    "<table><math><mi>q</mi></math><td>y</table>",
+    "<table> <svg></svg> <tr><td>x</table>",
+    # adoption agency with foreign elements on the stack
+    "<b><svg>x</svg></b>tail",
+    "<b><svg></b>y",
+    "<p><b><svg><desc><i>q</b>done",
+    "<a href=u><svg><a xlink:href=v>inner</a></svg></a>",
+    # misc structure
+    "<svg><h1>after breakout</h1></svg>",
+    "<head><svg><g/></svg></head>body",
+    "<svg><foo><bar>z</bar></foo></svg>",
+    "<math><semantics><mrow/></semantics></math>",
+    "<svg><mtext>not an ip here</mtext>t</svg>",
+]
+
+
+def test_foreign_content_differential():
+    """SVG/MathML foreign content in the C lane: ns'd inserts, tag &
+    attr case adjustment, xlink/xml namespaced attrs, CDATA, breakout
+    tags, HTML/MathML-text integration points, foreign end-tag
+    matching, and the interactions with foster parenting and the
+    agency — arena+errors identical to the Python machine."""
+    handled = 0
+    for html in FOREIGN_CASES:
+        if _check(html, label=html):
+            handled += 1
+    assert handled == len(FOREIGN_CASES), handled
+
+
+def test_foreign_soup_differential():
+    """Soup over the foreign+table+formatting alphabet: the C lane
+    either aborts or matches the Python machine arena-exactly."""
+    rng = random.Random(0xF0E16)
+    atoms = ["<svg>", "</svg>", "<math>", "</math>", "<mi>", "</mi>",
+             "<mtext>", "</mtext>", "<annotation-xml>",
+             "<annotation-xml encoding=text/html>", "</annotation-xml>",
+             "<foreignObject>", "</foreignObject>", "<desc>", "</desc>",
+             "<title>", "</title>", "<circle/>", "<rect>", "</rect>",
+             "<g>", "</g>", "<mglyph/>", "<font>", "<font color=c>",
+             "</font>", "<div>", "</div>", "<p>", "</p>", "<b>", "</b>",
+             "<i>", "</i>", "<table>", "</table>", "<tr>", "<td>",
+             "</td>", "<option>", "</option>", "<span>", "</span>",
+             "x", " ", "&amp;", "<![CDATA[c]]>", "<!--k-->",
+             "<a xlink:href=u>", "</a>", "<script>", "</script>",
+             "<tbody>", "</tbody>", "<h2>", "</h2>", "<input>",
+             "<viewbox viewbox=1>", "<clippath>", "</clippath>"]
+    for trial in range(800):
+        html = "".join(rng.choice(atoms)
+                       for _ in range(rng.randrange(1, 50)))
+        _check(html, label="foreign soup %d" % trial)
+
+
 def test_synthetic_corpus_no_fallback():
     """Every synthetic crawl page must take the fast lane (this is the
     hot path the lane exists for) and match the Python machine."""
