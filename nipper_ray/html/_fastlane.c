@@ -51,6 +51,8 @@
 #define M_IN_TABLE_BODY 11
 #define M_IN_ROW 12
 #define M_IN_CELL 13
+#define M_IN_SELECT 14
+#define M_IN_SELECT_IN_TABLE 15
 #define M_AFTER_BODY 17
 #define M_AFTER_AFTER_BODY 20
 
@@ -83,7 +85,7 @@ enum {
     T_SCRIPT, T_STYLE, T_NOFRAMES, T_TITLE, T_HEADVOID, T_OPTION,
     T_OPTGROUP, T_RB, T_RTC, T_RPRT, T_RUBY, T_APPLETG, T_TEMPLATE,
     T_FMTG, T_TABLE, T_CAPTION, T_COL, T_COLGROUP, T_TBTFTH, T_TDTH,
-    T_TR, T_MATH, T_SVG,
+    T_TR, T_MATH, T_SVG, T_SELECT,
     T_FOREIGN,  /* open-entry tok for foreign-ns elements: matches no
                  * html tok, mirroring the ns == HTML_NS guards on every
                  * Python scope/pop/implied-end name comparison */
@@ -176,7 +178,7 @@ static const NameEnt NAMES[] = {
     {"s", 1, T_FMTG, F_FMT | F_FBRK},
     {"script", 6, T_SCRIPT, F_SP | F_IH},
     {"section", 7, T_OTHER, F_SP | F_BC},
-    {"select", 6, T_OTHER, F_SP | F_ABS},
+    {"select", 6, T_SELECT, F_SP},
     {"small", 5, T_FMTG, F_FMT | F_FBRK},
     {"source", 6, T_PST, F_SP},
     {"span", 4, T_OTHER, F_FBRK},
@@ -1138,6 +1140,22 @@ static void reset_mode(P *p)
         case T_TABLE:
             p->mode = M_IN_TABLE;
             return;
+        case T_SELECT: {
+            int j;
+            if (!last) {
+                for (j = i - 1; j >= 1; j--) {
+                    if (p->open[j].flags & F_NS_FOREIGN)
+                        continue;
+                    if (p->open[j].tok == T_TABLE) {
+                        p->mode = M_IN_SELECT_IN_TABLE;
+                        return;
+                    }
+                    /* template would break the scan: not in subset */
+                }
+            }
+            p->mode = M_IN_SELECT;
+            return;
+        }
         case T_BODY:
             p->mode = M_IN_BODY;
             return;
@@ -1246,6 +1264,7 @@ static int handle_start(P *p, const NameEnt *ne, PyObject *name,
 static int handle_end(P *p, const NameEnt *ne, PyObject *name);
 static int handle_chars(P *p, PyObject *s);
 static int adjust_foreign_attrs(PyObject *attrs, int is_svg, int is_math);
+static int uni_eq_lit(PyObject *s, const char *lit);
 static int in_scope_name(P *p, PyObject *name);
 static int in_body_end(P *p, const NameEnt *ne, PyObject *name);
 static int adoption_agency(P *p, int tok, PyObject *name);
@@ -1572,6 +1591,20 @@ static int in_body_start(P *p, const NameEnt *ne, PyObject *name,
             generate_implied(p, NM_rtc);
         CHECK(insert_element(p, name, attrs, tok, flags, 1));
         return 0;
+    case T_SELECT:
+        /* treebuilder._in_body_start select arm: mode by the REAL
+         * current mode (caption/cell reach here unmasked; the
+         * in-table foster wrapper's postlude handles the masked
+         * table modes) */
+        CHECK(reconstruct_afe(p));
+        CHECK(insert_element(p, name, attrs, tok, flags, 1));
+        if (p->mode == M_IN_TABLE || p->mode == M_IN_CAPTION
+            || p->mode == M_IN_TABLE_BODY || p->mode == M_IN_ROW
+            || p->mode == M_IN_CELL)
+            p->mode = M_IN_SELECT_IN_TABLE;
+        else
+            p->mode = M_IN_SELECT;
+        return 0;
     case T_MATH:
     case T_SVG: {
         /* foreign roots (treebuilder._in_body_start math/svg arms):
@@ -1726,6 +1759,10 @@ static int in_table_start(P *p, const NameEnt *ne, PyObject *name,
         r = in_body_start(p, ne, name, attrs, self_closing);
         if (p->mode == M_IN_BODY)
             p->mode = saved;
+        else if (p->mode == M_IN_SELECT)
+            /* in-body <select> under the wrapper mask: the REAL mode
+             * is a table mode (treebuilder.py:1303-1307) */
+            p->mode = M_IN_SELECT_IN_TABLE;
         p->foster = 0;
         return r;
     }
@@ -1762,6 +1799,123 @@ static int in_table_end(P *p, const NameEnt *ne, PyObject *name)
         p->foster = 0;
         return r;
     }
+    }
+}
+
+/* ---------------- in select ----------------
+ * treebuilder._in_select_start / the IN_SELECT(_IN_TABLE) end rules.
+ * select scope: every element type EXCEPT html optgroup/option is a
+ * boundary (treebuilder._select_scope_ok). */
+static int select_scope_ok(P *p)
+{
+    int i;
+    for (i = p->n_open - 1; i >= 0; i--) {
+        int t = p->open[i].tok;
+        if (p->open[i].flags & F_NS_FOREIGN)
+            return 0;
+        if (t == T_SELECT)
+            return 1;
+        if (t != T_OPTION && t != T_OPTGROUP)
+            return 0;
+    }
+    return 0;
+}
+
+static int in_select_start(P *p, const NameEnt *ne, PyObject *name,
+                           PyObject *attrs, int self_closing)
+{
+    int tok = ne ? ne->tok : T_OTHER;
+    int handled;
+    if (p->mode == M_IN_SELECT_IN_TABLE
+        && (tok == T_CAPTION || tok == T_TABLE || tok == T_TBTFTH
+            || tok == T_TDTH || tok == T_TR)) {
+        pop_until_tok(p, T_SELECT);
+        reset_mode(p);
+        return handle_start_html(p, ne, name, attrs, self_closing);
+    }
+    switch (tok) {
+    case T_HTML:
+        return in_body_start(p, ne, name, attrs, self_closing);
+    case T_OPTION:
+        if (p->open[p->n_open - 1].tok == T_OPTION)
+            p->n_open--;
+        CHECK(insert_element(p, name, attrs, tok, ne->flags, 1));
+        return 0;
+    case T_OPTGROUP:
+        if (p->open[p->n_open - 1].tok == T_OPTION)
+            p->n_open--;
+        if (p->open[p->n_open - 1].tok == T_OPTGROUP)
+            p->n_open--;
+        CHECK(insert_element(p, name, attrs, tok, ne->flags, 1));
+        return 0;
+    case T_HR:
+        if (p->open[p->n_open - 1].tok == T_OPTION)
+            p->n_open--;
+        if (p->open[p->n_open - 1].tok == T_OPTGROUP)
+            p->n_open--;
+        CHECK(insert_element(p, name, attrs, tok, ne->flags, 1));
+        p->n_open--;
+        return 0;
+    case T_SELECT:
+        if (select_scope_ok(p)) {
+            pop_until_tok(p, T_SELECT);
+            reset_mode(p);
+        }
+        return 0;
+    case T_SCRIPT:
+    case T_TEMPLATE:
+        return start_in_head(p, ne, name, attrs, self_closing, &handled);
+    default:
+        if (tok == T_INPUT || tok == T_TEXTAREA
+            || (tok == T_VOIDB && uni_eq_lit(name, "keygen"))) {
+            if (select_scope_ok(p)) {
+                pop_until_tok(p, T_SELECT);
+                reset_mode(p);
+                /* reprocessed with self_closing FORCED off
+                 * (treebuilder.py:1235: self._start(name, attrs, False)) */
+                return handle_start_html(p, ne, name, attrs, 0);
+            }
+            return 0;
+        }
+        return 0;  /* anything else: ignore */
+    }
+}
+
+static int in_select_end(P *p, const NameEnt *ne, PyObject *name)
+{
+    int tok = ne ? ne->tok : T_OTHER;
+    if (p->mode == M_IN_SELECT_IN_TABLE
+        && (tok == T_CAPTION || tok == T_TABLE || tok == T_TBTFTH
+            || tok == T_TDTH || tok == T_TR)) {
+        /* name-based TABLE_SCOPE check: T_TBTFTH/T_TDTH group several
+         * names, but Python scopes the exact tag name */
+        if (in_table_scope_name(p, name)) {
+            pop_until_tok(p, T_SELECT);
+            reset_mode(p);
+            return handle_end_html(p, ne, name);
+        }
+        return 0;
+    }
+    switch (tok) {
+    case T_OPTGROUP:
+        if (p->open[p->n_open - 1].tok == T_OPTION && p->n_open > 1
+            && p->open[p->n_open - 2].tok == T_OPTGROUP)
+            p->n_open--;
+        if (p->open[p->n_open - 1].tok == T_OPTGROUP)
+            p->n_open--;
+        return 0;
+    case T_OPTION:
+        if (p->open[p->n_open - 1].tok == T_OPTION)
+            p->n_open--;
+        return 0;
+    case T_SELECT:
+        if (select_scope_ok(p)) {
+            pop_until_tok(p, T_SELECT);
+            reset_mode(p);
+        }
+        return 0;
+    default:
+        return 0;  /* template: noop without one on the stack */
     }
 }
 
@@ -1948,6 +2102,9 @@ static int handle_start_html(P *p, const NameEnt *ne, PyObject *name,
             return 0;
         }
         return in_body_start(p, ne, name, attrs, self_closing);
+    case M_IN_SELECT:
+    case M_IN_SELECT_IN_TABLE:
+        return in_select_start(p, ne, name, attrs, self_closing);
     case M_AFTER_BODY:
     case M_AFTER_AFTER_BODY:
         if (tok == T_HTML)
@@ -2427,6 +2584,9 @@ static int handle_end_html(P *p, const NameEnt *ne, PyObject *name)
             return 0;
         }
         return in_body_end(p, ne, name);
+    case M_IN_SELECT:
+    case M_IN_SELECT_IN_TABLE:
+        return in_select_end(p, ne, name);
     case M_AFTER_BODY:
         if (tok == T_HTML) {
             p->mode = M_AFTER_AFTER_BODY;
@@ -2741,6 +2901,10 @@ static int handle_chars(P *p, PyObject *s)
         return pend_text(p, cur_top(p), s);
     }
     case M_TEXT:
+        return pend_text(p, cur_top(p), s);
+    case M_IN_SELECT:
+    case M_IN_SELECT_IN_TABLE:
+        /* \x00-strip pre-screened; no reconstruction in select */
         return pend_text(p, cur_top(p), s);
     case M_IN_TABLE:
     case M_IN_TABLE_BODY:

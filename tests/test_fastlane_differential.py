@@ -347,6 +347,94 @@ def test_foreign_soup_differential():
         _check(html, label="foreign soup %d" % trial)
 
 
+SELECT_CASES = [
+    # option/optgroup stacking
+    "<select><option>a<option>b</select>after",
+    "<select><option>a</option></select>",
+    "<select><optgroup label=g><option>x</optgroup><option>y</select>",
+    "<select><option>a<optgroup><option>b</select>",
+    "<select><optgroup><optgroup>x</select>",
+    "<select><option selected value=v>t</select>",
+    # hr inside select
+    "<select><hr><option>x</select>",
+    "<select><option>1<hr>2</select>",
+    # nested select acts as </select>
+    "<select><select>y",
+    # input/keygen/textarea reset + reprocess
+    "<select><input name=i>after</select>x",
+    "<select><input/></select>x",
+    "<select><keygen>k",
+    "<select><textarea>raw&amp;</textarea></select>",
+    # anything-else start tags are ignored
+    "<select><div>ignored</select>kept",
+    "<select><b>ign</b><option>x</select>",
+    "<select><svg>ignored<option>o</select>",
+    "<select><table><option>o</select>t",
+    # characters insert directly (no reconstruction)
+    "<select>text between<option>o</select>",
+    "<select>&amp;<option>x</select>",
+    "<select><!--c--><option>x</select>",
+    # script is RAWTEXT even inside select
+    "<select><script>var s=1;</script><option>s</select>",
+    # end tags
+    "<select><option>a</optgroup>b</select>",
+    "<select><option><optgroup></option>c</select>",
+    "<select></option>x",
+    "<select></div></select>after",
+    "<select><option>a</p>b</select>",
+    "</select>stray",
+    "<select><option>EOF",
+    # formatting context around select
+    "<b><select><option>x</select></b>tail",
+    "<p><select><option>q</select>r",
+    # select in table modes (fostered insert + select-in-table rules)
+    "<table><select><option>x<tr><td>c</td></tr></table>",
+    "<table><tr><td><select><option>o</td><td>p</table>",
+    "<table><caption><select><option>c</caption>x</table>",
+    "<table><select><table>nest",
+    "<table><td><select><option>x</table>after",
+    "<table><tbody><select><option>b</tbody></table>",
+    "<table><tr><select><option>r<td>z</table>",
+    "<table><select><tbody><td>y</table>",
+    "<table><tr><td><select></table>tail",
+    # select end via table-element end tags needs table scope
+    "<table><select></td>ignored<option>k</table>",
+    # option content is text-only (elements ignored)
+    "<select><option><i>nope</i></option></select>",
+]
+
+
+def test_select_differential():
+    """IN_SELECT / IN_SELECT_IN_TABLE in the C lane: option/optgroup
+    stacking, hr, nested-select-as-end, input/textarea reset-and-
+    reprocess, ignored anything-else, script-in-select, the
+    select-in-table interactions and reset-mode — arena+errors
+    identical to the Python machine."""
+    handled = 0
+    for html in SELECT_CASES:
+        if _check(html, label=html):
+            handled += 1
+    assert handled == len(SELECT_CASES), handled
+
+
+def test_select_soup_differential():
+    """Soup over the select+table+formatting alphabet."""
+    rng = random.Random(0x5E1EC7)
+    atoms = ["<select>", "</select>", "<option>", "</option>",
+             "<optgroup>", "</optgroup>", "<hr>", "<input>",
+             "<input type=hidden>", "<keygen>", "<textarea>",
+             "</textarea>", "<script>", "</script>", "<table>",
+             "</table>", "<tr>", "</tr>", "<td>", "</td>", "<caption>",
+             "</caption>", "<tbody>", "<b>", "</b>", "<div>", "</div>",
+             "<p>", "</p>", "<svg>", "</svg>", "<option value=v>",
+             "x", " ", "&amp;", "<!--c-->", "<br>", "<li>", "<ul>",
+             "</ul>", "<span>", "</span>", "</h1>", "<h1>"]
+    for trial in range(800):
+        html = "".join(rng.choice(atoms)
+                       for _ in range(rng.randrange(1, 50)))
+        _check(html, label="select soup %d" % trial)
+
+
 def test_synthetic_corpus_no_fallback():
     """Every synthetic crawl page must take the fast lane (this is the
     hot path the lane exists for) and match the Python machine."""
