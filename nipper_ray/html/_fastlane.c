@@ -14,8 +14,9 @@
  * — fostered text/elements, reconstruction-under-foster and the
  * agency's foster arm — and FOREIGN CONTENT — svg/mathml ns'd
  * inserts, tag/attr case adjustment, xlink/xml attrs, CDATA
- * sections, breakout tags, integration points — all run natively);
- * templates / select / frameset abort.  Differential tests
+ * sections, breakout tags, integration points — plus select modes,
+ * applet/marquee/object afe markers and plaintext all run natively);
+ * only templates and frameset abort.  Differential tests
  * (tests/test_fastlane_differential.py) pin the equivalence.
  *
  * Reference for observable semantics: /root/reference/src/document.rs
@@ -85,7 +86,7 @@ enum {
     T_SCRIPT, T_STYLE, T_NOFRAMES, T_TITLE, T_HEADVOID, T_OPTION,
     T_OPTGROUP, T_RB, T_RTC, T_RPRT, T_RUBY, T_APPLETG, T_TEMPLATE,
     T_FMTG, T_TABLE, T_CAPTION, T_COL, T_COLGROUP, T_TBTFTH, T_TDTH,
-    T_TR, T_MATH, T_SVG, T_SELECT,
+    T_TR, T_MATH, T_SVG, T_SELECT, T_PLAINTEXT,
     T_FOREIGN,  /* open-entry tok for foreign-ns elements: matches no
                  * html tok, mirroring the ns == HTML_NS guards on every
                  * Python scope/pop/implied-end name comparison */
@@ -97,7 +98,7 @@ typedef struct { const char *name; uint8_t len; uint8_t tok; uint32_t flags; } N
 static const NameEnt NAMES[] = {
     {"a", 1, T_A, F_FMT},
     {"address", 7, T_OTHER, F_SP | F_BC | F_ADP},
-    {"applet", 6, T_APPLETG, F_SP | F_ABS},
+    {"applet", 6, T_APPLETG, F_SP | F_SCOPEB},
     {"area", 4, T_VOIDB, F_SP},
     {"article", 7, T_OTHER, F_SP | F_BC},
     {"aside", 5, T_OTHER, F_SP | F_BC},
@@ -153,7 +154,7 @@ static const NameEnt NAMES[] = {
     {"link", 4, T_HEADVOID, F_SP | F_IH},
     {"listing", 7, T_PRELIST, F_SP | F_FBRK},
     {"main", 4, T_OTHER, F_SP | F_BC},
-    {"marquee", 7, T_APPLETG, F_SP | F_ABS},
+    {"marquee", 7, T_APPLETG, F_SP | F_SCOPEB},
     {"math", 4, T_MATH, 0},
     {"menu", 4, T_OTHER, F_SP | F_BC | F_FBRK},
     {"meta", 4, T_HEADVOID, F_SP | F_IH | F_FBRK},
@@ -162,13 +163,13 @@ static const NameEnt NAMES[] = {
     {"noembed", 7, T_NOEMBED, F_SP},
     {"noframes", 8, T_NOFRAMES, F_SP | F_IH},
     {"noscript", 8, T_NOSCRIPT, F_SP},
-    {"object", 6, T_APPLETG, F_SP | F_ABS},
+    {"object", 6, T_APPLETG, F_SP | F_SCOPEB},
     {"ol", 2, T_OTHER, F_SP | F_BC | F_LSC | F_FBRK},
     {"optgroup", 8, T_OPTGROUP, F_IMP},
     {"option", 6, T_OPTION, F_IMP},
     {"p", 1, T_P, F_SP | F_BC | F_IMP | F_ADP | F_FBRK},
     {"param", 5, T_PST, F_SP},
-    {"plaintext", 9, T_OTHER, F_SP | F_ABS},
+    {"plaintext", 9, T_PLAINTEXT, F_SP},
     {"pre", 3, T_PRELIST, F_SP | F_FBRK},
     {"rb", 2, T_RB, F_IMP},
     {"rp", 2, T_RPRT, F_IMP},
@@ -367,7 +368,8 @@ typedef struct {
     int ignore_lf;
     int done;
 
-    int raw_kind;              /* 0 none, 1 rcdata, 2 rawtext, 3 script */
+    int raw_kind;              /* 0 none, 1 rcdata, 2 rawtext, 3 script,
+                                * 4 plaintext */
     const NameEnt *raw_ne;     /* raw element entry (close-tag search) */
 
     /* pending text run */
@@ -1056,8 +1058,8 @@ static void pop_until_tok(P *p, int tok)
 static void pop_until_name(P *p, PyObject *name)
 {
     while (p->n_open > 0) {
-        int id = p->open[--p->n_open].id;
-        if (NODE(p, id)->name == name)
+        OpenEnt *e = &p->open[--p->n_open];
+        if (!(e->flags & F_NS_FOREIGN) && NODE(p, e->id)->name == name)
             return;
     }
 }
@@ -1511,6 +1513,18 @@ static int in_body_start(P *p, const NameEnt *ne, PyObject *name,
         CHECK(el);
         return afe_push_noah(p, el, tok, name, attrs);
     }
+    case T_APPLETG:
+        /* treebuilder._in_body_start applet/marquee/object arm:
+         * afe MARKER isolates formatting inside */
+        CHECK(reconstruct_afe(p));
+        CHECK(insert_element(p, name, attrs, tok, flags, 1));
+        return afe_push_marker(p);
+    case T_PLAINTEXT:
+        /* raw-to-EOF: the scanner emits the rest as literal text */
+        close_p(p);
+        CHECK(insert_element(p, name, attrs, tok, flags, 1));
+        p->raw_kind = 4;
+        return 0;
     case T_NOBR: {
         int el;
         CHECK(reconstruct_afe(p));
@@ -2379,7 +2393,14 @@ static int in_body_end(P *p, const NameEnt *ne, PyObject *name)
     case T_FMTG:
         return adoption_agency(p, tok, name);
     case T_APPLETG:
-        return 0;  /* never on stack in subset: in_scope false, ignore */
+        /* name-exact default-scope check (applet/marquee/object share
+         * a tok but Python scopes the exact name) */
+        if (in_scope_name(p, name)) {
+            generate_implied(p, NULL);
+            pop_until_name(p, name);
+            afe_clear_to_marker(p);
+        }
+        return 0;
     case T_BR: {
         PyObject *attrs = PyList_New(0);
         int r;
@@ -3540,6 +3561,16 @@ static int run_scanner(P *p)
 
         if (p->raw_kind != 0) {
             int err = 0;
+            if (p->raw_kind == 4) {
+                /* plaintext: literal characters to EOF, no charrefs */
+                p->raw_kind = 0;
+                if (pos < n && emit_text(p, pos, n, 0, 0) < 0)
+                    return -1;
+                pos = n;
+                if (p->aborted)
+                    return -1;
+                continue;
+            }
             if (p->raw_kind == 3)
                 pos = consume_script(p, pos, &err);
             else

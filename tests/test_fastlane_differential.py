@@ -435,6 +435,43 @@ def test_select_soup_differential():
         _check(html, label="select soup %d" % trial)
 
 
+APPLET_PLAINTEXT_CASES = [
+    # applet/marquee/object: afe marker + default-scope boundary
+    "<object><b>x</object>y",
+    "<applet><i>a</applet>b",
+    "<marquee>scroll</marquee>after",
+    "<b><object><i>x</object>y</b>z",      # marker isolates formatting
+    "<object><p>inner</object>outer",
+    "<object></applet>ignored</object>k",  # name-exact scope/end
+    "<applet><marquee>m</applet>tail",
+    "<object>unclosed",
+    "<b>1<marquee>2</b>3</marquee>4",      # agency can't cross the marker
+    "<object><table><tr><td>c</td></tr></table></object>d",
+    "<table><object>f</object><td>x</table>",   # fostered object
+    "<svg><object>svg-object</object></svg>",   # breakout? object IS breakout? no
+    "<object><svg><circle/></svg></object>",
+    "<p><object><p>q",
+    "</object>stray",
+    "<select><object>ign</object><option>o</select>",
+    # plaintext: everything after is literal text
+    "<plaintext>raw <b>not bold</b> &amp; not an entity",
+    "<p>para<plaintext></p>still text<div>",
+    "<plaintext>",
+    "a<plaintext>b",
+    "<table><plaintext>x<tr>",             # fostered plaintext
+]
+
+
+def test_applet_marquee_object_plaintext_differential():
+    """applet/marquee/object (afe markers, name-exact default-scope
+    end tags) and plaintext (raw-to-EOF) in the C lane."""
+    handled = 0
+    for html in APPLET_PLAINTEXT_CASES:
+        if _check(html, label=html):
+            handled += 1
+    assert handled == len(APPLET_PLAINTEXT_CASES), handled
+
+
 def test_synthetic_corpus_no_fallback():
     """Every synthetic crawl page must take the fast lane (this is the
     hot path the lane exists for) and match the Python machine."""
