@@ -180,6 +180,81 @@ def test_cselect_multi_program_matches_per_rule_python():
         assert got == _matches_dfs_py(t, [0], compiled, True), sel
 
 
+FOREIGN_DOC = (
+    "<html><head><title>T</title></head><body>"
+    "<div id=i1 class='a b'><svg viewbox='0 0 4 4' class=icon>"
+    "<circle cx=1/><g class=grp><rect/><text>lbl</text></g>"
+    "<lineargradient id=lg><stop/></lineargradient>"
+    "<a xlink:href=u><circle class=a/></a>"
+    "<foreignObject><p class=a>inner<b>bold</b></p></foreignObject>"
+    "<desc>d <span>s</span></desc><title>svgtitle</title></svg>"
+    "text tail</div>"
+    "<math><mi>x</mi><mo>+</mo><mrow><mn>4</mn></mrow>"
+    "<annotation-xml encoding=text/html><ul><li class=a>q</li></ul>"
+    "</annotation-xml><semantics definitionurl=d/></math>"
+    "<p class=a>after</p><title>late</title></body></html>")
+
+FOREIGN_SELECTORS = [
+    "circle", "svg", "g", "rect", "text", "p", "title", "span",
+    "linearGradient", "lineargradient",   # foreign types are case-exact
+    "foreignObject", "foreignobject", "mi", "mrow", "annotation-xml",
+    "*", ".a", ".icon", "#lg", "svg circle", "svg > g", "div svg *",
+    "g + lineargradient", "a", "a[href]", "p.a", "body > p",
+    "[viewbox]",      # svg attr adjusted to viewBox: lowercase must miss
+    "[cx]", "circle[cx]", "svg .a", "foreignObject p", "desc span",
+    "math mi", ":not(circle)", "svg :first-child", "p b",
+    "div :last-child", "title:empty",
+]
+
+
+def test_cselect_foreign_arena():
+    """The C selector engine over arenas with SVG/MathML nodes: type
+    selectors are case-exact for foreign elements (matcher.py:167),
+    attr names case-exact too (matcher.py:119) — result-identical to
+    the Python matcher on every selector."""
+    t = _cnode_tree(FOREIGN_DOC)
+    assert t is not None, "foreign doc must take the fast lane"
+    for sel in FOREIGN_SELECTORS:
+        compiled = CompiledSelector(sel)
+        prog = get_cprog(compiled)
+        if prog is None:
+            continue  # unlowerable: python engine handles it
+        res = _mod().select_all(t.nodes, (prog,), [0], True)
+        assert res is not None
+        assert res[0] == _matches_dfs_py(t, [0], compiled, True), sel
+
+
+def test_ctext_foreign_arena():
+    t = _cnode_tree(FOREIGN_DOC)
+    assert t is not None
+    for nid in range(len(t.nodes)):
+        got = _mod().text(t.nodes, nid)
+        assert got is not None
+        assert got == t._text_py(nid), nid
+
+
+def test_cselect_foreign_random():
+    """Random selectors over random foreign-bearing docs."""
+    rng = random.Random(0xFE11)
+    base = FOREIGN_DOC
+    for trial in range(20):
+        t = _cnode_tree(base if trial % 2 == 0
+                        else wellformed_random_html(rng, n_elems=15)
+                        + "<svg class=icon><g><circle cx=1/></g>"
+                          "<desc><span class=a>x</span></desc></svg>")
+        if t is None:
+            continue
+        for _ in range(20):
+            sel = random_selector(rng)
+            compiled = CompiledSelector(sel)
+            prog = get_cprog(compiled)
+            if prog is None:
+                continue
+            res = _mod().select_all(t.nodes, (prog,), [0], True)
+            assert res is not None
+            assert res[0] == _matches_dfs_py(t, [0], compiled, True), sel
+
+
 def test_ctext_differential():
     t = _cnode_tree(EDGE_DOC)
     mod = _mod()
