@@ -15,8 +15,10 @@
  * agency's foster arm — and FOREIGN CONTENT — svg/mathml ns'd
  * inserts, tag/attr case adjustment, xlink/xml attrs, CDATA
  * sections, breakout tags, integration points — plus select modes,
- * applet/marquee/object afe markers and plaintext all run natively);
- * only templates and frameset abort.  Differential tests
+ * applet/marquee/object afe markers, plaintext and TEMPLATES
+ * (contents documents, the template-modes stack, form/html/body
+ * pointer gates, foster/agency template arms) all run natively);
+ * only frameset aborts.  Differential tests
  * (tests/test_fastlane_differential.py) pin the equivalence.
  *
  * Reference for observable semantics: /root/reference/src/document.rs
@@ -54,6 +56,7 @@
 #define M_IN_CELL 13
 #define M_IN_SELECT 14
 #define M_IN_SELECT_IN_TABLE 15
+#define M_IN_TEMPLATE 16
 #define M_AFTER_BODY 17
 #define M_AFTER_AFTER_BODY 20
 
@@ -193,7 +196,7 @@ static const NameEnt NAMES[] = {
     {"table", 5, T_TABLE, F_SP | F_SCOPEB | F_FBRK},
     {"tbody", 5, T_TBTFTH, F_SP | F_IGB},
     {"td", 2, T_TDTH, F_SP | F_IGB | F_SCOPEB},
-    {"template", 8, T_TEMPLATE, F_SP | F_IH | F_ABS},
+    {"template", 8, T_TEMPLATE, F_SP | F_IH | F_SCOPEB},
     {"textarea", 8, T_TEXTAREA, F_SP},
     {"tfoot", 5, T_TBTFTH, F_SP | F_IGB},
     {"th", 2, T_TDTH, F_SP | F_IGB | F_SCOPEB},
@@ -364,6 +367,8 @@ typedef struct {
     int n_afe, cap_afe;
 
     int mode, original_mode;
+    int tmpl[64];              /* template_modes stack (ints: M_*) */
+    int n_tmpl;
     int head_id, form_id;
     int ignore_lf;
     int done;
@@ -741,13 +746,23 @@ static int cur_top(P *p);
  * machine does (once per fostered insertion). */
 static int foster_point(P *p, int *parent, int *before)
 {
-    int last_table = -1, i;
+    int last_table = -1, last_template = -1, i;
     CHECK(parse_error_str(p, "foster-parenting"));
-    for (i = p->n_open - 1; i >= 0; i--)
-        if (p->open[i].tok == T_TABLE) {
+    for (i = p->n_open - 1; i >= 0; i--) {
+        int t = p->open[i].tok;
+        if (t == T_TABLE && last_table == -1)
             last_table = i;
+        if (t == T_TEMPLATE && last_template == -1)
+            last_template = i;
+        if (last_table != -1 && last_template != -1)
             break;
-        }
+    }
+    if (last_template != -1
+        && (last_table == -1 || last_template > last_table)) {
+        *parent = NODE(p, p->open[last_template].id)->tc;
+        *before = -1;
+        return 0;
+    }
     if (last_table == -1) {
         *parent = p->open[0].id;
         *before = -1;
@@ -814,6 +829,9 @@ static int pend_text(P *p, int parent, PyObject *s)
     if (p->foster && TABLEISH(p->open[p->n_open - 1].tok)
         && parent == cur_top(p))
         CHECK(foster_point(p, &parent, &before));
+    else if (parent == cur_top(p)
+             && p->open[p->n_open - 1].tok == T_TEMPLATE)
+        parent = NODE(p, parent)->tc;
     if (p->pend != NULL
         && (p->pend_parent != parent || p->pend_before != before))
         CHECK(flush_text(p));
@@ -861,10 +879,21 @@ static int insert_element_ns(P *p, PyObject *name, PyObject *attrs,
     el->ns = ns;
     Py_INCREF(attrs);
     el->attrs = attrs;
-    if (before != -1)
+    if (tok == T_TEMPLATE) {
+        /* template content document (dom: el.template_contents) */
+        CNode *d = new_node(p, K_DOCUMENT);
+        if (d == NULL)
+            return -1;
+        el->tc = d->id;
+    }
+    if (before != -1) {
         link_insert_before(p, before, el->id);
-    else
-        link_append(p, parent != -1 ? parent : cur_top(p), el->id);
+    } else {
+        int par = parent != -1 ? parent : cur_top(p);
+        if (parent == -1 && p->open[p->n_open - 1].tok == T_TEMPLATE)
+            par = NODE(p, par)->tc;  /* _insertion_point template arm */
+        link_append(p, par, el->id);
+    }
     if (push)
         CHECK(open_push(p, el->id, tok, flags));
     return el->id;
@@ -1006,7 +1035,7 @@ static int el_in_scope(P *p, int el)
     return 0;
 }
 
-/* TABLE_SCOPE (html/table/template; template unreachable) */
+/* TABLE_SCOPE (html/table/template) */
 static int in_table_scope_tok(P *p, int tok)
 {
     int i;
@@ -1014,7 +1043,8 @@ static int in_table_scope_tok(P *p, int tok)
         OpenEnt *e = &p->open[i];
         if (e->tok == tok)
             return 1;
-        if (e->tok == T_HTML || e->tok == T_TABLE)
+        if (e->tok == T_HTML || e->tok == T_TABLE
+            || e->tok == T_TEMPLATE)
             return 0;
     }
     return 0;
@@ -1027,7 +1057,8 @@ static int in_table_scope_name(P *p, PyObject *name)
         OpenEnt *e = &p->open[i];
         if (!(e->flags & F_NS_FOREIGN) && NODE(p, e->id)->name == name)
             return 1;
-        if (e->tok == T_HTML || e->tok == T_TABLE)
+        if (e->tok == T_HTML || e->tok == T_TABLE
+            || e->tok == T_TEMPLATE)
             return 0;
     }
     return 0;
@@ -1084,10 +1115,10 @@ static void close_p(P *p)
 /* ---------------- table context helpers ---------------- */
 static void clear_to_table_context(P *p)
 {
-    /* pop until table/template/html (template unreachable) */
+    /* pop until table/template/html */
     while (p->n_open > 0) {
         int t = p->open[p->n_open - 1].tok;
-        if (t == T_TABLE || t == T_HTML)
+        if (t == T_TABLE || t == T_HTML || t == T_TEMPLATE)
             return;
         p->n_open--;
     }
@@ -1097,7 +1128,7 @@ static void clear_to_table_body_context(P *p)
 {
     while (p->n_open > 0) {
         int t = p->open[p->n_open - 1].tok;
-        if (t == T_TBTFTH || t == T_HTML)
+        if (t == T_TBTFTH || t == T_HTML || t == T_TEMPLATE)
             return;
         p->n_open--;
     }
@@ -1107,7 +1138,7 @@ static void clear_to_row_context(P *p)
 {
     while (p->n_open > 0) {
         int t = p->open[p->n_open - 1].tok;
-        if (t == T_TR || t == T_HTML)
+        if (t == T_TR || t == T_HTML || t == T_TEMPLATE)
             return;
         p->n_open--;
     }
@@ -1142,17 +1173,28 @@ static void reset_mode(P *p)
         case T_TABLE:
             p->mode = M_IN_TABLE;
             return;
+        case T_TEMPLATE:
+            p->mode = p->n_tmpl ? p->tmpl[p->n_tmpl - 1] : M_IN_BODY;
+            return;
+        case T_HEAD:
+            /* reachable only via template reset (head stays open) */
+            if (!last) {
+                p->mode = M_IN_HEAD;
+                return;
+            }
+            break;
         case T_SELECT: {
             int j;
             if (!last) {
                 for (j = i - 1; j >= 1; j--) {
                     if (p->open[j].flags & F_NS_FOREIGN)
                         continue;
+                    if (p->open[j].tok == T_TEMPLATE)
+                        break;
                     if (p->open[j].tok == T_TABLE) {
                         p->mode = M_IN_SELECT_IN_TABLE;
                         return;
                     }
-                    /* template would break the scan: not in subset */
                 }
             }
             p->mode = M_IN_SELECT;
@@ -1172,6 +1214,29 @@ static void reset_mode(P *p)
             return;
         }
     }
+}
+
+static int template_on_stack(P *p)
+{
+    int i;
+    for (i = p->n_open - 1; i >= 0; i--)
+        if (p->open[i].tok == T_TEMPLATE)
+            return 1;
+    return 0;
+}
+
+/* treebuilder._end_template */
+static int end_template(P *p)
+{
+    if (!template_on_stack(p))
+        return 0;
+    generate_implied(p, NULL);
+    pop_until_tok(p, T_TEMPLATE);
+    afe_clear_to_marker(p);
+    if (p->n_tmpl)
+        p->n_tmpl--;
+    reset_mode(p);
+    return 0;
 }
 
 /* treebuilder._flush_table_text: all-whitespace pending runs insert
@@ -1397,7 +1462,14 @@ static int start_in_head(P *p, const NameEnt *ne, PyObject *name,
     case T_SCRIPT:
         return generic_raw(p, name, attrs, ne, 3);
     case T_TEMPLATE:
-        ABORT(p);
+        /* treebuilder._start_in_head template arm */
+        if (p->n_tmpl >= 64)
+            ABORT(p);  /* absurd nesting: python lane */
+        CHECK(insert_element(p, name, attrs, T_TEMPLATE, ne->flags, 1));
+        CHECK(afe_push_marker(p));
+        p->mode = M_IN_TEMPLATE;
+        p->tmpl[p->n_tmpl++] = M_IN_TEMPLATE;
+        return 0;
     case T_HEAD:
         return 0;  /* parse error per spec; Python ignores, no error */
     default:
@@ -1419,20 +1491,23 @@ static int in_body_start(P *p, const NameEnt *ne, PyObject *name,
 
     switch (tok) {
     case T_HTML:
-        /* template never on stack in subset */
-        return add_attrs_if_missing(p, p->open[0].id, attrs);
+        if (!template_on_stack(p))
+            return add_attrs_if_missing(p, p->open[0].id, attrs);
+        return 0;
     case T_BODY:
-        if (p->n_open > 1 && p->open[1].tok == T_BODY)
+        if (p->n_open > 1 && p->open[1].tok == T_BODY
+            && !template_on_stack(p))
             return add_attrs_if_missing(p, p->open[1].id, attrs);
         return 0;
     case T_FORM:
-        if (p->form_id != -1)
+        if (p->form_id != -1 && !template_on_stack(p))
             return 0;
         close_p(p);
         {
             int fid = insert_element(p, name, attrs, tok, flags, 1);
             CHECK(fid);
-            p->form_id = fid;
+            if (!template_on_stack(p))
+                p->form_id = fid;
         }
         return 0;
     case T_LI: {
@@ -1719,9 +1794,8 @@ static int in_table_start(P *p, const NameEnt *ne, PyObject *name,
         return 0;
     case T_STYLE:
     case T_SCRIPT:
-        return start_in_head(p, ne, name, attrs, self_closing, &handled);
     case T_TEMPLATE:
-        ABORT(p);
+        return start_in_head(p, ne, name, attrs, self_closing, &handled);
     case T_INPUT: {
         /* type=hidden inserts in place; anything else foster-parents */
         Py_ssize_t k;
@@ -1755,7 +1829,7 @@ static int in_table_start(P *p, const NameEnt *ne, PyObject *name,
         break;
     }
     case T_FORM:
-        if (p->form_id == -1) {
+        if (p->form_id == -1 && !template_on_stack(p)) {
             int fid = insert_element(p, name, attrs, tok, ne->flags, 1);
             CHECK(fid);
             p->form_id = fid;
@@ -1802,7 +1876,7 @@ static int in_table_end(P *p, const NameEnt *ne, PyObject *name)
     case T_TR:
         return 0;
     case T_TEMPLATE:
-        return 0;  /* _end_template: noop without a template on stack */
+        return end_template(p);
     default: {
         int saved = p->mode, r;
         p->foster = 1;
@@ -1928,8 +2002,10 @@ static int in_select_end(P *p, const NameEnt *ne, PyObject *name)
             reset_mode(p);
         }
         return 0;
+    case T_TEMPLATE:
+        return end_template(p);
     default:
-        return 0;  /* template: noop without one on the stack */
+        return 0;
     }
 }
 
@@ -2051,7 +2127,8 @@ static int handle_start_html(P *p, const NameEnt *ne, PyObject *name,
             return 0;
         }
         if (tok == T_TEMPLATE)
-            ABORT(p);
+            return start_in_head(p, ne, name, attrs, self_closing,
+                                 &handled);
         if (p->open[p->n_open - 1].tok == T_COLGROUP) {
             p->n_open--;
             p->mode = M_IN_TABLE;
@@ -2119,6 +2196,30 @@ static int handle_start_html(P *p, const NameEnt *ne, PyObject *name,
     case M_IN_SELECT:
     case M_IN_SELECT_IN_TABLE:
         return in_select_start(p, ne, name, attrs, self_closing);
+    case M_IN_TEMPLATE:
+        /* treebuilder._start IN_TEMPLATE arm: head-start names go to
+         * in-head; table tokens rewrite the current template mode and
+         * reprocess; anything else reprocesses in body */
+        if (ne && (ne->flags & F_IH))
+            return start_in_head(p, ne, name, attrs, self_closing,
+                                 &handled);
+        {
+            int nm2 = -1;
+            if (tok == T_CAPTION || tok == T_COLGROUP || tok == T_TBTFTH)
+                nm2 = M_IN_TABLE;
+            else if (tok == T_COL)
+                nm2 = M_IN_COLUMN_GROUP;
+            else if (tok == T_TR)
+                nm2 = M_IN_TABLE_BODY;
+            else if (tok == T_TDTH)
+                nm2 = M_IN_ROW;
+            else
+                nm2 = M_IN_BODY;
+            if (p->n_tmpl)
+                p->tmpl[p->n_tmpl - 1] = nm2;
+            p->mode = nm2;
+            return handle_start_html(p, ne, name, attrs, self_closing);
+        }
     case M_AFTER_BODY:
     case M_AFTER_AFTER_BODY:
         if (tok == T_HTML)
@@ -2278,6 +2379,10 @@ static int adoption_agency(P *p, int tok, PyObject *name)
                 link_insert_before(p, fbef, last_node);
             else
                 link_append(p, fpar, last_node);
+        } else if (p->open[si - 1].tok == T_TEMPLATE) {
+            /* template common ancestor: into its contents document
+             * (treebuilder.py:562-563) */
+            link_append(p, NODE(p, common_ancestor)->tc, last_node);
         } else {
             link_append(p, common_ancestor, last_node);
         }
@@ -2328,7 +2433,7 @@ static int in_body_end(P *p, const NameEnt *ne, PyObject *name)
 
     switch (tok) {
     case T_TEMPLATE:
-        return 0;  /* no template on stack in subset: noop */
+        return end_template(p);
     case T_BODY:
         if (in_scope_tok(p, T_BODY, 0, 0))
             p->mode = M_AFTER_BODY;
@@ -2348,7 +2453,15 @@ static int in_body_end(P *p, const NameEnt *ne, PyObject *name)
         }
         return 0;
     case T_FORM: {
-        int node = p->form_id, i;
+        int node, i;
+        if (template_on_stack(p)) {
+            if (in_scope_tok(p, T_FORM, 0, 0)) {
+                generate_implied(p, NULL);
+                pop_until_tok(p, T_FORM);
+            }
+            return 0;
+        }
+        node = p->form_id;
         p->form_id = -1;
         if (node == -1 || !el_in_scope(p, node))
             return 0;
@@ -2455,7 +2568,7 @@ static int handle_end_html(P *p, const NameEnt *ne, PyObject *name)
             return 0;
         }
         if (tok == T_TEMPLATE)
-            return 0;
+            return end_template(p);
         if (tok != T_BODY && tok != T_HTML && tok != T_BR)
             return 0;
         p->n_open--;
@@ -2463,7 +2576,7 @@ static int handle_end_html(P *p, const NameEnt *ne, PyObject *name)
         return handle_end_html(p, ne, name);
     case M_AFTER_HEAD:
         if (tok == T_TEMPLATE)
-            return 0;
+            return end_template(p);
         if (tok != T_BODY && tok != T_HTML && tok != T_BR)
             return 0;
         {
@@ -2522,7 +2635,7 @@ static int handle_end_html(P *p, const NameEnt *ne, PyObject *name)
         if (tok == T_COL)
             return 0;
         if (tok == T_TEMPLATE)
-            return 0;  /* _end_template noop */
+            return end_template(p);
         if (p->open[p->n_open - 1].tok == T_COLGROUP) {
             p->n_open--;
             p->mode = M_IN_TABLE;
@@ -2608,6 +2721,10 @@ static int handle_end_html(P *p, const NameEnt *ne, PyObject *name)
     case M_IN_SELECT:
     case M_IN_SELECT_IN_TABLE:
         return in_select_end(p, ne, name);
+    case M_IN_TEMPLATE:
+        if (tok == T_TEMPLATE)
+            return end_template(p);
+        return 0;
     case M_AFTER_BODY:
         if (tok == T_HTML) {
             p->mode = M_AFTER_AFTER_BODY;
@@ -2915,7 +3032,8 @@ static int handle_chars(P *p, PyObject *s)
     switch (p->mode) {
     case M_IN_BODY:
     case M_IN_CAPTION:
-    case M_IN_CELL: {
+    case M_IN_CELL:
+    case M_IN_TEMPLATE: {
         /* \x00 never occurs (document pre-screened); caption/cell
          * character tokens use the in-body rules */
         CHECK(reconstruct_afe(p));
@@ -2930,9 +3048,11 @@ static int handle_chars(P *p, PyObject *s)
     case M_IN_TABLE:
     case M_IN_TABLE_BODY:
     case M_IN_ROW:
-        if (TABLEISH(p->open[p->n_open - 1].tok)) {
+        if (TABLEISH(p->open[p->n_open - 1].tok)
+            || p->open[p->n_open - 1].tok == T_TEMPLATE) {
             /* pending table character tokens (in-table char rule via
-             * the table-body/row anything-else delegation) */
+             * the table-body/row anything-else delegation; the
+             * current-node tuple includes template, treebuilder:852) */
             p->tt = PyList_New(0);
             if (p->tt == NULL)
                 return -1;
@@ -3090,6 +3210,8 @@ static int handle_comment(P *p, PyObject *s)
         link_append(p, 0, c->id);
     else if (p->mode == M_AFTER_BODY)
         link_append(p, p->open[0].id, c->id);
+    else if (p->open[p->n_open - 1].tok == T_TEMPLATE)
+        link_append(p, NODE(p, cur_top(p))->tc, c->id);
     else
         link_append(p, cur_top(p), c->id);
     return 0;
@@ -3133,8 +3255,19 @@ static int handle_eof(P *p)
     CHECK(flush_text(p));
     if (p->mode == M_INITIAL || p->mode == M_BEFORE_HTML
         || p->mode == M_BEFORE_HEAD || p->mode == M_IN_HEAD
-        || p->mode == M_AFTER_HEAD)
+        || p->mode == M_AFTER_HEAD) {
         CHECK(synth_to_body(p));
+        p->done = 1;
+        return 0;
+    }
+    if (p->n_tmpl && template_on_stack(p)) {
+        /* treebuilder._eof template arm: pop and reprocess */
+        pop_until_tok(p, T_TEMPLATE);
+        afe_clear_to_marker(p);
+        p->n_tmpl--;
+        reset_mode(p);
+        return handle_eof(p);
+    }
     p->done = 1;
     return 0;
 }

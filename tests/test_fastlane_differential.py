@@ -472,6 +472,102 @@ def test_applet_marquee_object_plaintext_differential():
     assert handled == len(APPLET_PLAINTEXT_CASES), handled
 
 
+TEMPLATE_CASES = [
+    # content isolation into template_contents
+    "<template>x</template>after",
+    "<template><div>d</div></template>",
+    "<div><template><p>a<p>b</template>tail</div>",
+    "<template>plain &amp; text</template>",
+    "<template></template>",
+    "<body><template>late</template>",
+    # nesting
+    "<template><template>nested</template>x</template>y",
+    "<template>a<template>b</template>c</template>d",
+    # template modes: table tokens re-enter table modes inside contents
+    "<template><tr><td>c</td></tr></template>",
+    "<template><td>cell</td></template>",
+    "<template><col></template>",
+    "<template><caption>c</caption></template>",
+    "<template><colgroup><col></colgroup></template>",
+    "<template><tbody><tr><td>t</td></tr></tbody></template>",
+    "<template><table><tr><td>q</td></tr></table></template>",
+    # template inside real tables
+    "<table><template><tr><td>x</td></tr></template></table>",
+    "<table><tr><template><td>t</td></template><td>y</td></tr></table>",
+    "<table><tbody><template><tr><td>z</template></tbody></table>",
+    "<table><colgroup><template><col></template></colgroup></table>",
+    "<table><template></template><tr><td>x</table>",
+    # form pointer gates
+    "<form><template><form>inner</form></template></form>",
+    "<template><form>f</form></template><form>outer</form>",
+    "<form>a</form><template><form>b</form></template>",
+    "<form><template><form></form><input name=n></template></form>",
+    # formatting / agency across the template marker
+    "<b><template>x</b>y</template>z",
+    "<template><b><p>q</b>done</template>",
+    "<b>1<template>2</template>3</b>4",
+    "<template><i>fmt</template>outside",
+    # head-area templates
+    "<head><template><meta></template></head>body",
+    "<template><title>t</title></template>",
+    "<html><head></head><template>t</template>",
+    "<template><script>var x=1;</script></template>",
+    "<template><style>.a{}</style></template>",
+    # interactions with select / foreign / plaintext-free raw
+    "<template><select><option>o</select></template>",
+    "<template><svg><circle/></svg></template>",
+    "<svg><template>foreign-template</template></svg>",
+    "<template><textarea>raw</textarea></template>",
+    # gated html/body/head inside template
+    "<template><html lang=x>y</template>",
+    "<template><body>b</body></template>",
+    "<template><head>h</head></template>",
+    # end tags inside template content
+    "<template></div>ignored</template>k",
+    "</template>stray",
+    "<template><div>open</template>closed",
+    # EOF with open templates
+    "<template>unclosed",
+    "<template><table><tr>eof",
+    "<div><template><b>eof-fmt",
+    # reset-mode after nested templates
+    "<template><table><template><tr><td>a</template></table></template>",
+    "<table><template><td>x</td></template><td>y</table>",
+]
+
+
+def test_template_differential():
+    """<template> in the C lane: content isolation into the contents
+    document, the template-modes stack, form/html/body pointer gates,
+    afe-marker isolation, table-token re-entry, nested templates and
+    the EOF pop-and-reprocess — arena+errors identical to the Python
+    machine."""
+    handled = 0
+    for html in TEMPLATE_CASES:
+        if _check(html, label=html):
+            handled += 1
+    assert handled == len(TEMPLATE_CASES), handled
+
+
+def test_template_soup_differential():
+    """Soup over the template+table+formatting+foreign alphabet."""
+    rng = random.Random(0x7E3217)
+    atoms = ["<template>", "</template>", "<table>", "</table>", "<tr>",
+             "</tr>", "<td>", "</td>", "<tbody>", "<caption>",
+             "</caption>", "<colgroup>", "<col>", "<form>", "</form>",
+             "<input>", "<b>", "</b>", "<i>", "</i>", "<a href=u>",
+             "</a>", "<div>", "</div>", "<p>", "</p>", "<select>",
+             "</select>", "<option>", "<svg>", "</svg>", "<mi>",
+             "<title>", "</title>", "<script>", "</script>", "<head>",
+             "</head>", "<body>", "<html>", "x", " ", "&amp;",
+             "<!--c-->", "<li>", "<ul>", "</ul>", "<span>", "</span>",
+             "<h2>", "</h2>", "<br>", "<img>"]
+    for trial in range(800):
+        html = "".join(rng.choice(atoms)
+                       for _ in range(rng.randrange(1, 50)))
+        _check(html, label="template soup %d" % trial)
+
+
 def test_synthetic_corpus_no_fallback():
     """Every synthetic crawl page must take the fast lane (this is the
     hot path the lane exists for) and match the Python machine."""
