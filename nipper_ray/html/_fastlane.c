@@ -15,11 +15,14 @@
  * agency's foster arm — and FOREIGN CONTENT — svg/mathml ns'd
  * inserts, tag/attr case adjustment, xlink/xml attrs, CDATA
  * sections, breakout tags, integration points — plus select modes,
- * applet/marquee/object afe markers, plaintext and TEMPLATES
- * (contents documents, the template-modes stack, form/html/body
- * pointer gates, foster/agency template arms) all run natively);
- * only frameset aborts.  Differential tests
- * (tests/test_fastlane_differential.py) pin the equivalence.
+ * applet/marquee/object afe markers, plaintext, TEMPLATES (contents
+ * documents, the template-modes stack, form/html/body pointer gates,
+ * foster/agency template arms) and frameset w/ exact frameset_ok
+ * tracking: EVERY insertion mode runs natively.  Remaining aborts are
+ * input-shaped only (NUL bytes, name-cache saturation, >64-deep
+ * templates, non-ascii foreign end tags, oversized tag names).
+ * Differential tests (tests/test_fastlane_differential.py) pin the
+ * equivalence.
  *
  * Reference for observable semantics: /root/reference/src/document.rs
  * (TreeSink impl) and tests/html-dom.rs goldens, via treebuilder.py.
@@ -57,6 +60,9 @@
 #define M_IN_SELECT 14
 #define M_IN_SELECT_IN_TABLE 15
 #define M_IN_TEMPLATE 16
+#define M_IN_FRAMESET 18
+#define M_AFTER_FRAMESET 19
+#define M_AFTER_AFTER_FRAMESET 21
 #define M_AFTER_BODY 17
 #define M_AFTER_AFTER_BODY 20
 
@@ -67,7 +73,7 @@
 #define F_BC 0x0008u      /* BLOCK_CLOSERS */
 #define F_IH 0x0010u      /* IN_HEAD_START */
 #define F_IMP 0x0020u     /* IMPLIED_END */
-#define F_ABS 0x0040u     /* abort on start tag */
+/* 0x0040 free (was F_ABS: every insertion mode now runs natively) */
 #define F_IGB 0x0080u     /* ignored start tag in body */
 #define F_LSC 0x0100u     /* ol/ul: list-item scope boundary */
 #define F_ADP 0x0200u     /* address/div/p (li/dd/dt walk exception) */
@@ -89,7 +95,7 @@ enum {
     T_SCRIPT, T_STYLE, T_NOFRAMES, T_TITLE, T_HEADVOID, T_OPTION,
     T_OPTGROUP, T_RB, T_RTC, T_RPRT, T_RUBY, T_APPLETG, T_TEMPLATE,
     T_FMTG, T_TABLE, T_CAPTION, T_COL, T_COLGROUP, T_TBTFTH, T_TDTH,
-    T_TR, T_MATH, T_SVG, T_SELECT, T_PLAINTEXT,
+    T_TR, T_MATH, T_SVG, T_SELECT, T_PLAINTEXT, T_FRAMESET, T_FRAME,
     T_FOREIGN,  /* open-entry tok for foreign-ns elements: matches no
                  * html tok, mirroring the ns == HTML_NS guards on every
                  * Python scope/pop/implied-end name comparison */
@@ -134,8 +140,8 @@ static const NameEnt NAMES[] = {
     {"font", 4, T_FMTG, F_FMT},
     {"footer", 6, T_OTHER, F_SP | F_BC},
     {"form", 4, T_FORM, F_SP},
-    {"frame", 5, T_OTHER, F_SP | F_IGB},
-    {"frameset", 8, T_OTHER, F_SP | F_ABS},
+    {"frame", 5, T_FRAME, F_SP | F_IGB},
+    {"frameset", 8, T_FRAMESET, F_SP},
     {"h1", 2, T_OTHER, F_SP | F_HD | F_FBRK},
     {"h2", 2, T_OTHER, F_SP | F_HD | F_FBRK},
     {"h3", 2, T_OTHER, F_SP | F_HD | F_FBRK},
@@ -369,6 +375,7 @@ typedef struct {
     int mode, original_mode;
     int tmpl[64];              /* template_modes stack (ints: M_*) */
     int n_tmpl;
+    int frameset_ok;
     int head_id, form_id;
     int ignore_lf;
     int done;
@@ -1173,6 +1180,9 @@ static void reset_mode(P *p)
         case T_TABLE:
             p->mode = M_IN_TABLE;
             return;
+        case T_FRAMESET:
+            p->mode = M_IN_FRAMESET;
+            return;
         case T_TEMPLATE:
             p->mode = p->n_tmpl ? p->tmpl[p->n_tmpl - 1] : M_IN_BODY;
             return;
@@ -1275,6 +1285,7 @@ static int flush_table_text(P *p)
     if (nonws) {
         int r;
         p->foster = 1;
+        p->frameset_ok = 0;
         r = reconstruct_afe(p);
         if (r == 0)
             r = pend_text(p, cur_top(p), s);
@@ -1332,6 +1343,7 @@ static int handle_end(P *p, const NameEnt *ne, PyObject *name);
 static int handle_chars(P *p, PyObject *s);
 static int adjust_foreign_attrs(PyObject *attrs, int is_svg, int is_math);
 static int uni_eq_lit(PyObject *s, const char *lit);
+static int input_is_hidden(PyObject *attrs);
 static int in_scope_name(P *p, PyObject *name);
 static int in_body_end(P *p, const NameEnt *ne, PyObject *name);
 static int adoption_agency(P *p, int tok, PyObject *name);
@@ -1467,6 +1479,7 @@ static int start_in_head(P *p, const NameEnt *ne, PyObject *name,
             ABORT(p);  /* absurd nesting: python lane */
         CHECK(insert_element(p, name, attrs, T_TEMPLATE, ne->flags, 1));
         CHECK(afe_push_marker(p));
+        p->frameset_ok = 0;
         p->mode = M_IN_TEMPLATE;
         p->tmpl[p->n_tmpl++] = M_IN_TEMPLATE;
         return 0;
@@ -1486,9 +1499,6 @@ static int in_body_start(P *p, const NameEnt *ne, PyObject *name,
     uint32_t flags = ne ? ne->flags : 0;
     int handled;
 
-    if (flags & F_ABS)
-        ABORT(p);
-
     switch (tok) {
     case T_HTML:
         if (!template_on_stack(p))
@@ -1496,8 +1506,23 @@ static int in_body_start(P *p, const NameEnt *ne, PyObject *name,
         return 0;
     case T_BODY:
         if (p->n_open > 1 && p->open[1].tok == T_BODY
-            && !template_on_stack(p))
+            && !template_on_stack(p)) {
+            p->frameset_ok = 0;
             return add_attrs_if_missing(p, p->open[1].id, attrs);
+        }
+        return 0;
+    case T_FRAMESET:
+        /* honored only while frameset_ok: detach body, pop to html,
+         * switch to the frameset machine (treebuilder.py:1339-1350) */
+        if (!p->frameset_ok || p->n_open < 2)
+            return 0;
+        if (p->open[1].tok != T_BODY)
+            return 0;
+        CHECK(flush_text(p));
+        unlink_node(p, p->open[1].id);
+        p->n_open = 1;
+        CHECK(insert_element(p, name, attrs, tok, flags, 1));
+        p->mode = M_IN_FRAMESET;
         return 0;
     case T_FORM:
         if (p->form_id != -1 && !template_on_stack(p))
@@ -1512,6 +1537,7 @@ static int in_body_start(P *p, const NameEnt *ne, PyObject *name,
         return 0;
     case T_LI: {
         int i;
+        p->frameset_ok = 0;
         for (i = p->n_open - 1; i >= 0; i--) {
             OpenEnt *e = &p->open[i];
             if (e->tok == T_LI) {
@@ -1529,6 +1555,7 @@ static int in_body_start(P *p, const NameEnt *ne, PyObject *name,
     case T_DD:
     case T_DT: {
         int i;
+        p->frameset_ok = 0;
         for (i = p->n_open - 1; i >= 0; i--) {
             OpenEnt *e = &p->open[i];
             if (e->tok == T_DD || e->tok == T_DT) {
@@ -1550,6 +1577,7 @@ static int in_body_start(P *p, const NameEnt *ne, PyObject *name,
         }
         CHECK(reconstruct_afe(p));
         CHECK(insert_element(p, name, attrs, tok, flags, 1));
+        p->frameset_ok = 0;
         return 0;
     case T_A: {
         /* misnested <a>: run the agency for the existing entry, then
@@ -1593,6 +1621,7 @@ static int in_body_start(P *p, const NameEnt *ne, PyObject *name,
          * afe MARKER isolates formatting inside */
         CHECK(reconstruct_afe(p));
         CHECK(insert_element(p, name, attrs, tok, flags, 1));
+        p->frameset_ok = 0;
         return afe_push_marker(p);
     case T_PLAINTEXT:
         /* raw-to-EOF: the scanner emits the rest as literal text */
@@ -1614,6 +1643,7 @@ static int in_body_start(P *p, const NameEnt *ne, PyObject *name,
     case T_TABLE:
         close_p(p);
         CHECK(insert_element(p, name, attrs, tok, flags, 1));
+        p->frameset_ok = 0;
         p->mode = M_IN_TABLE;
         return 0;
     case T_VOIDB:
@@ -1621,11 +1651,14 @@ static int in_body_start(P *p, const NameEnt *ne, PyObject *name,
         CHECK(reconstruct_afe(p));
         CHECK(insert_element(p, name, attrs, tok, flags, 1));
         p->n_open--;
+        p->frameset_ok = 0;
         return 0;
     case T_INPUT:
         CHECK(reconstruct_afe(p));
         CHECK(insert_element(p, name, attrs, tok, flags, 1));
         p->n_open--;
+        if (!input_is_hidden(attrs))
+            p->frameset_ok = 0;
         return 0;
     case T_PST:
         CHECK(insert_element(p, name, attrs, tok, flags, 1));
@@ -1635,6 +1668,7 @@ static int in_body_start(P *p, const NameEnt *ne, PyObject *name,
         close_p(p);
         CHECK(insert_element(p, name, attrs, tok, flags, 1));
         p->n_open--;
+        p->frameset_ok = 0;
         return 0;
     case T_IMAGE: {
         const NameEnt *img = name_lookup((const uint8_t *)"img", 3);
@@ -1644,10 +1678,12 @@ static int in_body_start(P *p, const NameEnt *ne, PyObject *name,
         close_p(p);
         CHECK(insert_element(p, name, attrs, tok, flags, 1));
         p->ignore_lf = 1;
+        p->frameset_ok = 0;
         return 0;
     case T_TEXTAREA:
         CHECK(insert_element(p, name, attrs, tok, flags, 1));
         p->ignore_lf = 1;
+        p->frameset_ok = 0;
         p->raw_kind = 1;
         p->raw_ne = ne;
         p->original_mode = p->mode;
@@ -1656,8 +1692,10 @@ static int in_body_start(P *p, const NameEnt *ne, PyObject *name,
     case T_XMP:
         close_p(p);
         CHECK(reconstruct_afe(p));
+        p->frameset_ok = 0;
         return generic_raw(p, name, attrs, ne, 2);
     case T_IFRAME:
+        p->frameset_ok = 0;
         return generic_raw(p, name, attrs, ne, 2);
     case T_NOEMBED:
     case T_NOSCRIPT:
@@ -1687,6 +1725,7 @@ static int in_body_start(P *p, const NameEnt *ne, PyObject *name,
          * table modes) */
         CHECK(reconstruct_afe(p));
         CHECK(insert_element(p, name, attrs, tok, flags, 1));
+        p->frameset_ok = 0;
         if (p->mode == M_IN_TABLE || p->mode == M_IN_CAPTION
             || p->mode == M_IN_TABLE_BODY || p->mode == M_IN_ROW
             || p->mode == M_IN_CELL)
@@ -1798,30 +1837,7 @@ static int in_table_start(P *p, const NameEnt *ne, PyObject *name,
         return start_in_head(p, ne, name, attrs, self_closing, &handled);
     case T_INPUT: {
         /* type=hidden inserts in place; anything else foster-parents */
-        Py_ssize_t k;
-        int hidden = 0;
-        for (k = 0; k < PyList_GET_SIZE(attrs); k++) {
-            PyObject *a = PyList_GET_ITEM(attrs, k);
-            if (PyList_GET_ITEM(a, 1) == NM_type) {
-                PyObject *v = PyList_GET_ITEM(a, 2);
-                if (PyUnicode_GET_LENGTH(v) == 6) {
-                    static const char H[] = "hidden";
-                    int x, m = 1;
-                    for (x = 0; x < 6; x++) {
-                        Py_UCS4 c = PyUnicode_READ_CHAR(v, x);
-                        if (c >= 'A' && c <= 'Z')
-                            c += 32;
-                        if (c != (Py_UCS4)H[x]) {
-                            m = 0;
-                            break;
-                        }
-                    }
-                    hidden = m;
-                }
-                break;
-            }
-        }
-        if (hidden) {
+        if (input_is_hidden(attrs)) {
             CHECK(insert_element(p, name, attrs, tok, ne->flags, 1));
             p->n_open--;
             return 0;
@@ -1888,6 +1904,33 @@ static int in_table_end(P *p, const NameEnt *ne, PyObject *name)
         return r;
     }
     }
+}
+
+/* type attribute equals "hidden" case-insensitively
+ * (in-table input arm + the frameset_ok rule) */
+static int input_is_hidden(PyObject *attrs)
+{
+    Py_ssize_t k;
+    for (k = 0; k < PyList_GET_SIZE(attrs); k++) {
+        PyObject *a = PyList_GET_ITEM(attrs, k);
+        if (PyList_GET_ITEM(a, 1) == NM_type) {
+            PyObject *v = PyList_GET_ITEM(a, 2);
+            if (PyUnicode_GET_LENGTH(v) == 6) {
+                static const char H[] = "hidden";
+                int x;
+                for (x = 0; x < 6; x++) {
+                    Py_UCS4 c = PyUnicode_READ_CHAR(v, x);
+                    if (c >= 'A' && c <= 'Z')
+                        c += 32;
+                    if (c != (Py_UCS4)H[x])
+                        return 0;
+                }
+                return 1;
+            }
+            return 0;
+        }
+    }
+    return 0;
 }
 
 /* ---------------- in select ----------------
@@ -2068,11 +2111,15 @@ static int handle_start_html(P *p, const NameEnt *ne, PyObject *name,
             return in_body_start(p, ne, name, attrs, self_closing);
         if (tok == T_BODY) {
             CHECK(insert_element(p, name, attrs, T_BODY, F_SP, 1));
+            p->frameset_ok = 0;
             p->mode = M_IN_BODY;
             return 0;
         }
-        if (ne && (ne->flags & F_ABS))
-            ABORT(p);
+        if (tok == T_FRAMESET) {
+            CHECK(insert_element(p, name, attrs, tok, ne->flags, 1));
+            p->mode = M_IN_FRAMESET;
+            return 0;
+        }
         if (ne && (ne->flags & F_IH)) {
             /* parse error: re-enter head (treebuilder.py:975-981) */
             int i;
@@ -2196,6 +2243,30 @@ static int handle_start_html(P *p, const NameEnt *ne, PyObject *name,
     case M_IN_SELECT:
     case M_IN_SELECT_IN_TABLE:
         return in_select_start(p, ne, name, attrs, self_closing);
+    case M_IN_FRAMESET:
+        if (tok == T_HTML)
+            return in_body_start(p, ne, name, attrs, self_closing);
+        if (tok == T_FRAMESET) {
+            CHECK(insert_element(p, name, attrs, tok, ne->flags, 1));
+            return 0;
+        }
+        if (tok == T_FRAME) {
+            CHECK(insert_element(p, name, attrs, tok, ne->flags, 1));
+            p->n_open--;
+            return 0;
+        }
+        if (tok == T_NOFRAMES)
+            return start_in_head(p, ne, name, attrs, self_closing,
+                                 &handled);
+        return 0;
+    case M_AFTER_FRAMESET:
+    case M_AFTER_AFTER_FRAMESET:
+        if (tok == T_HTML)
+            return in_body_start(p, ne, name, attrs, self_closing);
+        if (tok == T_NOFRAMES)
+            return start_in_head(p, ne, name, attrs, self_closing,
+                                 &handled);
+        return 0;
     case M_IN_TEMPLATE:
         /* treebuilder._start IN_TEMPLATE arm: head-start names go to
          * in-head; table tokens rewrite the current template mode and
@@ -2725,6 +2796,21 @@ static int handle_end_html(P *p, const NameEnt *ne, PyObject *name)
         if (tok == T_TEMPLATE)
             return end_template(p);
         return 0;
+    case M_IN_FRAMESET:
+        if (tok == T_FRAMESET) {
+            if (p->n_open == 1)
+                return 0;
+            p->n_open--;
+            if (p->open[p->n_open - 1].tok != T_FRAMESET)
+                p->mode = M_AFTER_FRAMESET;
+        }
+        return 0;
+    case M_AFTER_FRAMESET:
+        if (tok == T_HTML)
+            p->mode = M_AFTER_AFTER_FRAMESET;
+        return 0;
+    case M_AFTER_AFTER_FRAMESET:
+        return 0;
     case M_AFTER_BODY:
         if (tok == T_HTML) {
             p->mode = M_AFTER_AFTER_BODY;
@@ -3026,8 +3112,12 @@ static int handle_chars(P *p, PyObject *s)
      * the current node is an integration point */
     if (p->n_open) {
         uint32_t tf = p->open[p->n_open - 1].flags;
-        if ((tf & F_NS_FOREIGN) && !(tf & (F_MTEXT_IP | F_HTML_IP)))
+        if ((tf & F_NS_FOREIGN) && !(tf & (F_MTEXT_IP | F_HTML_IP))) {
+            if (p->frameset_ok
+                && lstrip_ws_index(s) < PyUnicode_GET_LENGTH(s))
+                p->frameset_ok = 0;
             return pend_text(p, cur_top(p), s);
+        }
     }
     switch (p->mode) {
     case M_IN_BODY:
@@ -3037,6 +3127,8 @@ static int handle_chars(P *p, PyObject *s)
         /* \x00 never occurs (document pre-screened); caption/cell
          * character tokens use the in-body rules */
         CHECK(reconstruct_afe(p));
+        if (p->frameset_ok && lstrip_ws_index(s) < PyUnicode_GET_LENGTH(s))
+            p->frameset_ok = 0;
         return pend_text(p, cur_top(p), s);
     }
     case M_TEXT:
@@ -3158,6 +3250,36 @@ static int handle_chars(P *p, PyObject *s)
             return r;
         }
     }
+    case M_IN_FRAMESET:
+    case M_AFTER_FRAMESET: {
+        /* leading whitespace inserted directly; non-ws ignored */
+        Py_ssize_t i = lstrip_ws_index(s);
+        if (i > 0) {
+            PyObject *ws = PyUnicode_Substring(s, 0, i);
+            int r;
+            if (ws == NULL)
+                return -1;
+            r = pend_text(p, cur_top(p), ws);
+            Py_DECREF(ws);
+            CHECK(r);
+        }
+        return 0;
+    }
+    case M_AFTER_AFTER_FRAMESET: {
+        /* leading whitespace per in-body rules; non-ws ignored */
+        Py_ssize_t i = lstrip_ws_index(s);
+        if (i > 0) {
+            PyObject *ws = PyUnicode_Substring(s, 0, i);
+            int r;
+            if (ws == NULL)
+                return -1;
+            CHECK(reconstruct_afe(p));
+            r = pend_text(p, cur_top(p), ws);
+            Py_DECREF(ws);
+            CHECK(r);
+        }
+        return 0;
+    }
     case M_AFTER_BODY:
     case M_AFTER_AFTER_BODY: {
         Py_ssize_t i = lstrip_ws_index(s);
@@ -3206,7 +3328,8 @@ static int handle_comment(P *p, PyObject *s)
     Py_INCREF(s);
     c->data = s;
     if (p->mode == M_INITIAL || p->mode == M_BEFORE_HTML
-        || p->mode == M_AFTER_AFTER_BODY)
+        || p->mode == M_AFTER_AFTER_BODY
+        || p->mode == M_AFTER_AFTER_FRAMESET)
         link_append(p, 0, c->id);
     else if (p->mode == M_AFTER_BODY)
         link_append(p, p->open[0].id, c->id);
@@ -4780,6 +4903,7 @@ static PyObject *fl_parse(PyObject *self, PyObject *arg)
     p.n = blen;
     p.head_id = -1;
     p.form_id = -1;
+    p.frameset_ok = 1;
     p.pend_parent = -1;
     p.pend_before = -1;
     p.pend_merge = -1;

@@ -568,6 +568,86 @@ def test_template_soup_differential():
         _check(html, label="template soup %d" % trial)
 
 
+FRAMESET_CASES = [
+    # honored framesets (frameset_ok still true)
+    "<frameset><frame src=a><frame src=b></frameset>",
+    "<html><frameset cols='50%,50%'><frame></frameset></html>",
+    "<head><title>t</title></head><frameset><frame></frameset>",
+    "<frameset><frameset><frame></frameset><frame></frameset>after",
+    "<frameset></frameset><noframes>nf</noframes>",
+    "<frameset></frameset></html>tail-ws",
+    "<frameset>ignored text<frame>more</frameset>",
+    "<frameset> \n <frame> </frameset>",
+    "<frameset><div>ignored</div><frame></frameset>",
+    "<frameset>",
+    "<frameset><frame>",
+    "</frameset>stray",
+    # body replacement when frameset_ok
+    "<body bgcolor=x><frameset><frame></frameset>",
+    " \n <frameset><frame></frameset>",   # leading ws keeps ok
+    "<p></p><frameset>",                  # p sets ok false? (no text)
+    # frameset_ok = false => ignored
+    "text<frameset><frame></frameset>more",
+    "<body>x</body><frameset>ign</frameset>y",
+    "<div>d</div><frameset><frame></frameset>tail",
+    "<br><frameset>f</frameset>",
+    "<hr><frameset>f</frameset>",
+    "<input><frameset>f</frameset>",
+    "<input type=hidden><frameset><frame></frameset>",  # hidden keeps ok
+    "<table><tr><td>c</td></tr></table><frameset>f</frameset>",
+    "<textarea>t</textarea><frameset>f</frameset>",
+    "<select><option>o</select><frameset>f</frameset>",
+    "<img src=u><frameset>f</frameset>",
+    "<li><frameset>f</frameset>",
+    "<pre></pre><frameset>f</frameset>",
+    "<button></button><frameset>f</frameset>",
+    "<object></object><frameset>f</frameset>",
+    "<iframe>i</iframe><frameset>f</frameset>",
+    "<xmp>x</xmp><frameset>f</frameset>",
+    "<svg>s</svg><frameset>f</frameset>",     # foreign non-ws text
+    "<template>t</template><frameset><frame></frameset>",
+    "<table>zz<td>q</table><frameset>f</frameset>",  # fostered text
+    # ws-only content keeps frameset_ok true
+    "<b> </b><frameset><frame></frameset>",
+    "<p>  </p><frameset><frame></frameset>",
+    # after-frameset modes
+    "<frameset><frame></frameset></html><noframes>n</noframes>",
+    "<frameset></frameset> ws <!--c-->",
+    "<frameset></frameset></html> <!--c-->x",
+    "<frameset><noframes>raw</noframes><frame></frameset>",
+]
+
+
+def test_frameset_differential():
+    """frameset / after-frameset modes and exact frameset_ok tracking
+    in the C lane — the LAST insertion-mode decline. Arena+errors
+    identical to the Python machine on honored and ignored framesets."""
+    handled = 0
+    for html in FRAMESET_CASES:
+        if _check(html, label=html):
+            handled += 1
+    assert handled == len(FRAMESET_CASES), handled
+
+
+def test_frameset_soup_differential():
+    rng = random.Random(0xF4A3E5)
+    atoms = ["<frameset>", "</frameset>", "<frame>", "<noframes>",
+             "</noframes>", "<body>", "</body>", "<html>", "</html>",
+             "<head>", "</head>", "<div>", "</div>", "<p>", "</p>",
+             "<b>", "</b>", "<table>", "</table>", "<td>", "<tr>",
+             "<input>", "<input type=hidden>", "<br>", "<hr>", "<img>",
+             "<select>", "</select>", "<option>", "<template>",
+             "</template>", "<svg>", "</svg>", "<li>", "<button>",
+             "</button>", "<pre>", "</pre>", "<textarea>", "</textarea>",
+             "x", " ", "\n", "&amp;", "<!--c-->", "<title>", "</title>",
+             "<iframe>", "</iframe>", "<xmp>", "</xmp>", "<object>",
+             "</object>", "<marquee>", "</marquee>"]
+    for trial in range(800):
+        html = "".join(rng.choice(atoms)
+                       for _ in range(rng.randrange(1, 50)))
+        _check(html, label="frameset soup %d" % trial)
+
+
 def test_synthetic_corpus_no_fallback():
     """Every synthetic crawl page must take the fast lane (this is the
     hot path the lane exists for) and match the Python machine."""
