@@ -60,9 +60,9 @@ def test_edge_cases_differential():
     from test_ctokenizer_differential import EDGE_CASES
 
     handled = sum(1 for html in EDGE_CASES if _check(html))
-    # the clean subset must actually cover a decent slice of the edge
-    # battery (raw text, entities, attrs, comments, implied closes)
-    assert handled >= 25, handled
+    # with every insertion mode native, only input-shaped cases (NUL
+    # bytes, EOF-in-tag oddities) may still fall back
+    assert handled >= 71, handled
 
 
 def test_fixture_pages_differential():
@@ -745,9 +745,7 @@ def test_adoption_agency_differential():
     for html in cases:
         if _check(html, label=html):
             handled += 1
-    # the agency covers the non-foster cases; only table-adjacent
-    # misnesting may still fall back
-    assert handled >= len(cases) - 2, handled
+    assert handled == len(cases), handled
 
 
 def test_agency_soup_differential():
