@@ -78,12 +78,16 @@ def get():
     return _mod
 
 
+_Tree = None
+
+
 def parse_document_fast(html: str):
     """Tree for *html* via the C fast lane, or None (caller falls back).
 
     Exact byte-space contract as ctokenizer.CTokenizer: \r-normalize in
     character space first, then operate on the UTF-8 encoding.
     """
+    global _Tree
     mod = get()
     if mod is None:
         return None
@@ -96,10 +100,9 @@ def parse_document_fast(html: str):
     res = mod.parse(b)
     if res is None:
         return None
-    nodes, errors = res
-    from ..dom import Tree
-
-    t = Tree.__new__(Tree)
-    t.nodes = nodes
-    t.errors = errors
+    if _Tree is None:
+        from ..dom import Tree as _T
+        _Tree = _T
+    t = _Tree.__new__(_Tree)
+    t.nodes, t.errors = res
     return t

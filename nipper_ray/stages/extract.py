@@ -30,7 +30,7 @@ from ..css.matcher import CompiledSelector
 from ..html.charset import decode_html
 
 
-def _select_all(tree, compileds):
+def _select_all(tree, compileds, progs=None):
     """One preorder DFS evaluating every rule's selector per node —
     identical per-rule results to K separate Document.select DFS walks
     (from the single root each node is visited exactly once, so the
@@ -48,7 +48,8 @@ def _select_all(tree, compileds):
     from ..css.lower import get_cprog
     from ..dom import ELEMENT
 
-    progs = [get_cprog(c) for c in compileds]
+    if progs is None:
+        progs = [get_cprog(c) for c in compileds]
     if progs and all(p is not None for p in progs):
         from ..html.fastlane import get
 
@@ -157,6 +158,23 @@ class ExtractStage:
         return pa.table(cols)
 
     def _extract_rows(self, html_list, outs, ok, n_err):
+        from ..css.lower import get_cprog
+        from ..dom import _c_text_fn
+
+        # per-batch hoists: lowered programs (dict probes + list build
+        # were per-DOC before — ~8us/doc of pure overhead), the C text
+        # kernel, and a flat (out_list, op, argname) dispatch per rule
+        progs = [get_cprog(c) for c in self._compiled_list]
+        ctext = _c_text_fn()
+        dispatch = []
+        for r, compiled in self.compiled:
+            kind = r.kind
+            if kind.startswith("attr:"):
+                dispatch.append((outs[r.name], "attr", kind[5:]))
+            elif kind.startswith("attrs:"):
+                dispatch.append((outs[r.name], "attrs", kind[6:]))
+            else:
+                dispatch.append((outs[r.name], kind, None))
         for raw in html_list:
             try:
                 doc = Document(decode_html(raw))
@@ -171,30 +189,39 @@ class ExtractStage:
                     outs[r.name].append(None)
                 continue
             tree = doc.tree
-            per_rule = _select_all(tree, self._compiled_list)
-            for (r, compiled), nids in zip(self.compiled, per_rule):
-                sel = Selection(tree, nids)
-                kind = r.kind
-                if kind == "text":
-                    outs[r.name].append(sel.text())
-                elif kind == "count":
-                    outs[r.name].append(sel.length())
-                elif kind == "exists":
-                    outs[r.name].append(sel.exists())
-                elif kind == "html":
-                    outs[r.name].append(sel.html())
-                elif kind.startswith("attr:"):
-                    outs[r.name].append(sel.attr(kind[5:]))
-                elif kind.startswith("attrs:"):
-                    name = kind[6:]
+            nodes = tree.nodes
+            per_rule = _select_all(tree, self._compiled_list, progs)
+            for (out, op, arg), nids in zip(dispatch, per_rule):
+                if op == "text":
+                    if ctext is not None:
+                        parts = []
+                        for nid in nids:
+                            t = ctext(nodes, nid)
+                            parts.append(tree.text(nid) if t is None
+                                         else t)
+                        out.append("".join(parts))
+                    else:
+                        out.append(
+                            "".join(tree.text(n) for n in nids))
+                elif op == "count":
+                    out.append(len(nids))
+                elif op == "exists":
+                    out.append(bool(nids))
+                elif op == "html":
+                    out.append(tree.serialize(nids[0], include_node=True)
+                               if nids else "")
+                elif op == "attr":
+                    out.append(tree.get_attr(nids[0], arg)
+                               if nids else None)
+                elif op == "attrs":
                     vals = []
-                    for nid in sel.nids:
-                        v = tree.get_attr(nid, name)
+                    for nid in nids:
+                        v = tree.get_attr(nid, arg)
                         if v is not None:
                             vals.append(v)
-                    outs[r.name].append(vals)
+                    out.append(vals)
                 else:
-                    raise ValueError("unknown rule kind %r" % kind)
+                    raise ValueError("unknown rule kind %r" % op)
 
 
 def extract_pages(ds, rules=DEFAULT_RULES, keep_cols=("url",),
