@@ -3348,7 +3348,7 @@ static int handle_doctype(P *p, PyObject *name)
     if (p->done)
         return 0;
     if (p->mode != M_INITIAL)
-        ABORT(p);  /* unexpected-doctype parse error */
+        return parse_error_str(p, "unexpected-doctype");  /* ignored */
     d = new_node(p, K_DOCTYPE);
     if (d == NULL)
         return -1;
@@ -3802,6 +3802,26 @@ static Py_ssize_t scan_comment_span(P *p, Py_ssize_t start,
     return n;
 }
 
+/* tokenizer._bogus_comment: parse error + raw comment node up to
+ * '>' (exclusive) or EOF; returns the resume position or -1 */
+static Py_ssize_t bogus_comment(P *p, Py_ssize_t a)
+{
+    const uint8_t *e = memchr(p->b + a, '>', p->n - a);
+    Py_ssize_t b = e ? (Py_ssize_t)(e - p->b) : p->n;
+    PyObject *cm;
+    int hr;
+    if (parse_error_str(p, "bogus-comment") < 0)
+        return -1;
+    cm = span_str(p, a, b, 0, 0);
+    if (cm == NULL)
+        return -1;
+    hr = handle_comment(p, cm);
+    Py_DECREF(cm);
+    if (hr < 0)
+        return -1;
+    return e ? b + 1 : p->n;
+}
+
 /* ---------------- main scan loop ---------------- */
 static int run_scanner(P *p)
 {
@@ -3877,7 +3897,10 @@ static int run_scanner(P *p)
                 continue;
             }
             if (j < n && s[j] == '>') { pos = j + 1; continue; }
-            ABORT(p);  /* bogus comment => parse error */
+            pos = bogus_comment(p, i);
+            if (pos < 0 || p->aborted)
+                return -1;
+            continue;
         }
         if (sc_is_alpha(c)) {
             Py_ssize_t ne_pos, r;
@@ -3957,7 +3980,7 @@ static int run_scanner(P *p)
             }
             /* <![CDATA[ in foreign content: character tokens to "]]>"
              * (tokenizer._cdata; cdata_ok == current ns != HTML_NS).
-             * Elsewhere it is a bogus comment => parse error => abort */
+             * Elsewhere it falls through to the bogus-comment arm */
             if (i + 8 <= n && memcmp(s + i + 1, "[CDATA[", 7) == 0
                 && p->n_open
                 && (p->open[p->n_open - 1].flags & F_NS_FOREIGN)) {
@@ -3992,10 +4015,17 @@ static int run_scanner(P *p)
                     return -1;
                 continue;
             }
-            ABORT(p);
+            pos = bogus_comment(p, i + 1);
+            if (pos < 0 || p->aborted)
+                return -1;
+            continue;
         }
-        if (c == '?')
-            ABORT(p);  /* bogus comment */
+        if (c == '?') {
+            pos = bogus_comment(p, i);
+            if (pos < 0 || p->aborted)
+                return -1;
+            continue;
+        }
         /* literal '<': the char after stays in data */
         CHECK(handle_chars(p, g_lt_str));
         pos = i;

@@ -60,9 +60,9 @@ def test_edge_cases_differential():
     from test_ctokenizer_differential import EDGE_CASES
 
     handled = sum(1 for html in EDGE_CASES if _check(html))
-    # with every insertion mode native, only input-shaped cases (NUL
-    # bytes, EOF-in-tag oddities) may still fall back
-    assert handled >= 71, handled
+    # every insertion mode + every tokenizer recovery path is native:
+    # the WHOLE edge battery rides the lane
+    assert handled == len(EDGE_CASES), handled
 
 
 def test_fixture_pages_differential():
@@ -646,6 +646,41 @@ def test_frameset_soup_differential():
         html = "".join(rng.choice(atoms)
                        for _ in range(rng.randrange(1, 50)))
         _check(html, label="frameset soup %d" % trial)
+
+
+BOGUS_COMMENT_CASES = [
+    "</ x>after",
+    "</>ignored",          # '</>' is silently dropped (no error)
+    "</#bogus>tail",
+    "</",
+    "a</ b",
+    "<?php echo 1 ?>x",
+    "<?>y",
+    "<?",
+    "<!x>k",
+    "<!>empty",
+    "<!",
+    "<!-",                 # not '--': bogus, not comment
+    "<![CDATA[not-foreign]]>q",      # cdata outside foreign = bogus
+    "<div><![CDATA[z]]></div>",
+    "<!doctype html><p>x</p><!bogus>y",
+    "<table></ foo><tr><td>c</table>",   # bogus comment in table modes
+    "<select><?q></select>",
+    "<svg></ p></svg>",                  # bogus inside foreign content
+    "<template><?t></template>",
+    "</ a>< /b>",          # second is literal text '< /b>'
+]
+
+
+def test_bogus_comment_differential():
+    """Bogus-comment recovery (</x, <?, <!junk, CDATA-outside-foreign):
+    parse error + raw comment node to '>' or EOF, per tokenizer
+    _bogus_comment — previously an abort-to-Python path."""
+    handled = 0
+    for html in BOGUS_COMMENT_CASES:
+        if _check(html, label=html):
+            handled += 1
+    assert handled == len(BOGUS_COMMENT_CASES), handled
 
 
 def test_synthetic_corpus_no_fallback():
