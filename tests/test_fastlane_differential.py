@@ -798,6 +798,40 @@ def test_agency_soup_differential():
         _check(html, label="agency soup %d" % trial)
 
 
+def test_large_and_cap_edge_documents():
+    """Realloc paths (open stack, afe, arena) and the documented input
+    caps: large docs must stay arena-identical; cap overflows (attr
+    count, tag-name length, template depth, name-cache saturation)
+    must DECLINE cleanly, never diverge."""
+    lane_cases = [
+        "".join("<div class=c%d>" % i for i in range(2000)) + "x",
+        "".join("<span>" for _ in range(3000)) + "t"
+        + "".join("</span>" for _ in range(3000)),
+        "".join("<b><i>" for _ in range(800)) + "q",
+        "<div data-big='" + "v" * 50000 + "'>x</div>",
+        "<" + "q" * 255 + ">x",          # max tag-name scratch
+        "lorem ipsum &amp; dolor " * 8000,
+        "".join("<table><tr><td>" for _ in range(200)) + "deep",
+        "".join("<template>" for _ in range(63)) + "x",
+        "<svg>" + "".join("<g>" for _ in range(2000)) + "leaf",
+        "".join("<!--c%d-->" % i for i in range(4000)),
+        "".join("<?pi%d>" % i for i in range(4000)),
+        "<select>" + "".join("<option>o%d" % i for i in range(3000))
+        + "</select>",
+    ]
+    for i, h in enumerate(lane_cases):
+        assert _check(h, label="big-%d" % i), "big-%d declined" % i
+    decline_cases = [
+        "<div " + " ".join("a%d=v%d" % (i, i) for i in range(200))
+        + ">w</div>",                     # > MAX_ATTRS
+        "<" + "q" * 300 + ">x",           # tag name over scratch
+        "".join("<template>" for _ in range(65)) + "x",  # depth cap
+    ]
+    for i, h in enumerate(decline_cases):
+        assert not _check(h, label="cap-%d" % i), \
+            "cap-%d unexpectedly took the lane" % i
+
+
 def test_fastlane_through_api():
     """Document built on the fast lane supports the full Selection API
     including mutation (CNode is attribute-compatible with dom.Node)."""
