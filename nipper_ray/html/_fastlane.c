@@ -411,6 +411,8 @@ static PyObject *g_svg_tag_adj = NULL;     /* treebuilder.SVG_TAG_ADJUST */
 static PyObject *g_svg_attr_adj = NULL;    /* treebuilder.SVG_ATTR_ADJUST */
 static PyObject *g_foreign_attr_adj = NULL;  /* FOREIGN_ATTR_ADJUST */
 static PyObject *NM_definitionURL = NULL;
+static PyObject *g_nul_str = NULL;         /* "\x00" */
+static PyObject *g_fffd_str = NULL;        /* U+FFFD */
 static PyObject *g_decode = NULL;          /* entities.decode_charrefs */
 static PyObject *g_lt_str = NULL;          /* "<" */
 static PyObject *g_empty_str = NULL;       /* "" */
@@ -3070,6 +3072,22 @@ static int handle_end(P *p, const NameEnt *ne, PyObject *name)
 }
 
 /* ---------------- characters ---------------- */
+static int append_table_text(P *p, PyObject *s)
+{
+    /* pending_table_text chunks are NUL-stripped at append
+     * (treebuilder.py:864); an empty chunk still appends */
+    if (PyUnicode_FindChar(s, 0, 0, PyUnicode_GET_LENGTH(s), 1) >= 0) {
+        PyObject *t = PyUnicode_Replace(s, g_nul_str, g_empty_str, -1);
+        int r;
+        if (t == NULL)
+            return -1;
+        r = PyList_Append(p->tt, t);
+        Py_DECREF(t);
+        return r;
+    }
+    return PyList_Append(p->tt, s);
+}
+
 static Py_ssize_t lstrip_ws_index(PyObject *s)
 {
     Py_ssize_t i, n = PyUnicode_GET_LENGTH(s);
@@ -3113,10 +3131,21 @@ static int handle_chars(P *p, PyObject *s)
     if (p->n_open) {
         uint32_t tf = p->open[p->n_open - 1].flags;
         if ((tf & F_NS_FOREIGN) && !(tf & (F_MTEXT_IP | F_HTML_IP))) {
+            PyObject *use = s, *t = NULL;
+            int r;
+            if (PyUnicode_FindChar(s, 0, 0, PyUnicode_GET_LENGTH(s), 1)
+                >= 0) {
+                t = PyUnicode_Replace(s, g_nul_str, g_fffd_str, -1);
+                if (t == NULL)
+                    return -1;
+                use = t;
+            }
             if (p->frameset_ok
-                && lstrip_ws_index(s) < PyUnicode_GET_LENGTH(s))
+                && lstrip_ws_index(use) < PyUnicode_GET_LENGTH(use))
                 p->frameset_ok = 0;
-            return pend_text(p, cur_top(p), s);
+            r = pend_text(p, cur_top(p), use);
+            Py_XDECREF(t);
+            return r;
         }
     }
     switch (p->mode) {
@@ -3124,8 +3153,28 @@ static int handle_chars(P *p, PyObject *s)
     case M_IN_CAPTION:
     case M_IN_CELL:
     case M_IN_TEMPLATE: {
-        /* \x00 never occurs (document pre-screened); caption/cell
-         * character tokens use the in-body rules */
+        /* caption/cell/template character tokens use the in-body
+         * rules; NULs strip FIRST — all-NUL text returns before any
+         * formatting reconstruction (treebuilder._chars) */
+        if (PyUnicode_FindChar(s, 0, 0, n, 1) >= 0) {
+            PyObject *t = PyUnicode_Replace(s, g_nul_str, g_empty_str, -1);
+            int r;
+            if (t == NULL)
+                return -1;
+            if (PyUnicode_GET_LENGTH(t) == 0) {
+                Py_DECREF(t);
+                return 0;
+            }
+            r = reconstruct_afe(p);
+            if (r == 0) {
+                if (p->frameset_ok
+                    && lstrip_ws_index(t) < PyUnicode_GET_LENGTH(t))
+                    p->frameset_ok = 0;
+                r = pend_text(p, cur_top(p), t);
+            }
+            Py_DECREF(t);
+            return r;
+        }
         CHECK(reconstruct_afe(p));
         if (p->frameset_ok && lstrip_ws_index(s) < PyUnicode_GET_LENGTH(s))
             p->frameset_ok = 0;
@@ -3135,7 +3184,18 @@ static int handle_chars(P *p, PyObject *s)
         return pend_text(p, cur_top(p), s);
     case M_IN_SELECT:
     case M_IN_SELECT_IN_TABLE:
-        /* \x00-strip pre-screened; no reconstruction in select */
+        /* no reconstruction in select; NULs strip but an all-NUL
+         * token still inserts the empty string (python
+         * _insert_text("") creates/merges a text node) */
+        if (PyUnicode_FindChar(s, 0, 0, n, 1) >= 0) {
+            PyObject *t = PyUnicode_Replace(s, g_nul_str, g_empty_str, -1);
+            int r;
+            if (t == NULL)
+                return -1;
+            r = pend_text(p, cur_top(p), t);
+            Py_DECREF(t);
+            return r;
+        }
         return pend_text(p, cur_top(p), s);
     case M_IN_TABLE:
     case M_IN_TABLE_BODY:
@@ -3150,7 +3210,7 @@ static int handle_chars(P *p, PyObject *s)
                 return -1;
             p->original_mode = p->mode;
             p->mode = M_IN_TABLE_TEXT;
-            return PyList_Append(p->tt, s);
+            return append_table_text(p, s);
         }
         {
             /* anything-else: foster-parented in-body processing */
@@ -3163,7 +3223,7 @@ static int handle_chars(P *p, PyObject *s)
             return r;
         }
     case M_IN_TABLE_TEXT:
-        return PyList_Append(p->tt, s);
+        return append_table_text(p, s);
     case M_IN_COLUMN_GROUP: {
         Py_ssize_t i = lstrip_ws_index(s);
         if (i > 0) {
@@ -4924,10 +4984,6 @@ static PyObject *fl_parse(PyObject *self, PyObject *arg)
         return NULL;
     if (blen > INT32_MAX / 2)
         Py_RETURN_NONE;
-    /* NUL bytes take the spec's replacement paths: fall back */
-    if (memchr(buf, 0, blen) != NULL)
-        Py_RETURN_NONE;
-
     memset(&p, 0, sizeof(p));
     p.b = (const uint8_t *)buf;
     p.n = blen;
@@ -5009,6 +5065,12 @@ static PyObject *fl_setup(PyObject *self, PyObject *args)
         if (NM_definitionURL == NULL)
             return NULL;
         PyUnicode_InternInPlace(&NM_definitionURL);
+    }
+    if (g_nul_str == NULL) {
+        g_nul_str = PyUnicode_FromStringAndSize("\0", 1);
+        g_fffd_str = PyUnicode_FromOrdinal(0xFFFD);
+        if (g_nul_str == NULL || g_fffd_str == NULL)
+            return NULL;
     }
     if (g_lt_str == NULL) {
         g_lt_str = PyUnicode_FromString("<");

@@ -798,6 +798,52 @@ def test_agency_soup_differential():
         _check(html, label="agency soup %d" % trial)
 
 
+NUL_CASES = [
+    # body text: stripped (all-NUL returns before afe reconstruction)
+    "a\x00b",
+    "<p>\x00</p>done",
+    "<b>z</b>\x00<i>q</i>",
+    "<b>z</b>q\x00",
+    "\x00",
+    "x\x00",
+    "<pre>\n\x00x</pre>",
+    # foreign text: U+FFFD
+    "<svg>a\x00b</svg>",
+    "<svg>\x00</svg>",
+    "<math><mrow>\x00</mrow></math>",
+    "<svg><desc>\x00</desc></svg>",        # html ip: body strip rules
+    "<svg><![CDATA[c\x00d]]></svg>",
+    # table text: stripped at append; all-empty pending inserts nothing
+    "<table>a\x00b<td>x</table>",
+    "<table>\x00<td>x</table>",
+    "<table> \x00 <tr><td>c</table>",
+    # select: stripped but empty string still inserts a text node
+    "<select>\x00</select>after",
+    "<select>a\x00b<option>o</select>",
+    # names / attrs / comments / raw text keep NULs verbatim
+    "<p\x00q>x",
+    "<p a\x00b=c>x",
+    "<p a='v\x00w'>x",
+    "<!--c\x00d-->tail",
+    "<script>s\x00t</script>",
+    "<textarea>r\x00s</textarea>",
+    "<title>t\x00u</title>",
+    "<template>\x00t</template>",
+    "<option>\x00",
+]
+
+
+def test_nul_byte_differential():
+    """NUL bytes take the per-context replacement paths natively now
+    (strip in body/table/select, U+FFFD in foreign, verbatim in
+    names/attrs/comments/raw text) — the input pre-screen is gone."""
+    handled = 0
+    for html in NUL_CASES:
+        if _check(html, label=repr(html)):
+            handled += 1
+    assert handled == len(NUL_CASES), handled
+
+
 def test_large_and_cap_edge_documents():
     """Realloc paths (open stack, afe, arena) and the documented input
     caps: large docs must stay arena-identical; cap overflows (attr
