@@ -4891,6 +4891,63 @@ fail:
     return NULL;
 }
 
+/* collect_attr(nodes, nids, name) -> [value, ...] for every nid that
+ * carries the attribute (api Selection attrs:NAME rule kind), or None
+ * to fall back on mixed arenas */
+static PyObject *fl_collect_attr(PyObject *self, PyObject *args)
+{
+    PyObject *nodes, *nids, *name, *out;
+    Py_ssize_t N, k, M;
+    (void)self;
+    if (!PyArg_ParseTuple(args, "O!O!U", &PyList_Type, &nodes,
+                          &PyList_Type, &nids, &name))
+        return NULL;
+    N = PyList_GET_SIZE(nodes);
+    M = PyList_GET_SIZE(nids);
+    out = PyList_New(0);
+    if (out == NULL)
+        return NULL;
+    for (k = 0; k < M; k++) {
+        PyObject *io = PyList_GET_ITEM(nids, k);
+        Py_ssize_t nid;
+        PyObject *o;
+        CNode *n;
+        Py_ssize_t j, na;
+        if (!PyLong_Check(io))
+            goto fallback;
+        nid = PyLong_AsSsize_t(io);
+        if (nid < 0 || nid >= N)
+            goto fallback;
+        o = PyList_GET_ITEM(nodes, nid);
+        if (Py_TYPE(o) != &CNodeType)
+            goto fallback;
+        n = (CNode *)o;
+        if (n->kind != K_ELEMENT || n->attrs == NULL)
+            continue;
+        if (!PyList_Check(n->attrs))
+            goto fallback;
+        na = PyList_GET_SIZE(n->attrs);
+        for (j = 0; j < na; j++) {
+            PyObject *a = PyList_GET_ITEM(n->attrs, j);
+            PyObject *an;
+            if (!PyList_Check(a) || PyList_GET_SIZE(a) < 3)
+                goto fallback;
+            an = PyList_GET_ITEM(a, 1);
+            if (an == name || ueq(an, name)) {
+                if (PyList_Append(out, PyList_GET_ITEM(a, 2)) < 0) {
+                    Py_DECREF(out);
+                    return NULL;
+                }
+                break;
+            }
+        }
+    }
+    return out;
+fallback:
+    Py_DECREF(out);
+    Py_RETURN_NONE;
+}
+
 static PyObject *fl_text(PyObject *self, PyObject *args)
 {
     PyObject *nodes, *parts = NULL, *res;
@@ -5124,6 +5181,8 @@ static PyMethodDef fl_methods[] = {
     {"select_all", fl_select_all, METH_VARARGS,
      "select_all(nodes, programs, roots, include_node) -> list of nid "
      "lists per program, or None to fall back (non-CNode arena)"},
+    {"collect_attr", fl_collect_attr, METH_VARARGS,
+     "collect_attr(nodes, nids, name) -> [values] or None"},
     {"text", fl_text, METH_VARARGS,
      "text(nodes, nid) -> concatenated subtree text, or None to fall "
      "back (non-CNode arena)"},

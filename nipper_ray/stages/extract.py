@@ -163,9 +163,15 @@ class ExtractStage:
 
         # per-batch hoists: lowered programs (dict probes + list build
         # were per-DOC before — ~8us/doc of pure overhead), the C text
-        # kernel, and a flat (out_list, op, argname) dispatch per rule
+        # kernel, the C module handle, and a flat (out_list, op,
+        # argname) dispatch per rule
         progs = [get_cprog(c) for c in self._compiled_list]
         ctext = _c_text_fn()
+        cmod = None
+        if progs and all(p is not None for p in progs):
+            from ..html.fastlane import get
+            cmod = get()
+        collect_attr = getattr(cmod, "collect_attr", None)
         dispatch = []
         for r, compiled in self.compiled:
             kind = r.kind
@@ -190,7 +196,11 @@ class ExtractStage:
                 continue
             tree = doc.tree
             nodes = tree.nodes
-            per_rule = _select_all(tree, self._compiled_list, progs)
+            per_rule = None
+            if cmod is not None:
+                per_rule = cmod.select_all(nodes, progs, (0,), True)
+            if per_rule is None:
+                per_rule = _select_all(tree, self._compiled_list, progs)
             for (out, op, arg), nids in zip(dispatch, per_rule):
                 if op == "text":
                     if ctext is not None:
@@ -214,11 +224,15 @@ class ExtractStage:
                     out.append(tree.get_attr(nids[0], arg)
                                if nids else None)
                 elif op == "attrs":
-                    vals = []
-                    for nid in nids:
-                        v = tree.get_attr(nid, arg)
-                        if v is not None:
-                            vals.append(v)
+                    vals = None
+                    if collect_attr is not None:
+                        vals = collect_attr(nodes, nids, arg)
+                    if vals is None:
+                        vals = []
+                        for nid in nids:
+                            v = tree.get_attr(nid, arg)
+                            if v is not None:
+                                vals.append(v)
                     out.append(vals)
                 else:
                     raise ValueError("unknown rule kind %r" % op)
