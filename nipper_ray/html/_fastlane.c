@@ -3499,11 +3499,308 @@ static Py_ssize_t lower_into(const uint8_t *s, Py_ssize_t a, Py_ssize_t b,
 }
 
 /* decode a byte span to str, optionally charref-decoding */
+/* the ~120 most common named references (exact `name;` form
+ * only — legacy no-semicolon and anything else delegates to the
+ * python longest-prefix decoder); values generated from the
+ * public stdlib html.entities.html5 table */
+typedef struct { const char *name; uint8_t nlen;
+                 const char *out; uint8_t olen; } CEntEnt;
+static const CEntEnt CENTS[] = {
+    {"Agrave", 6, "\xc3\x80", 2},
+    {"Auml", 4, "\xc3\x84", 2},
+    {"Dagger", 6, "\xe2\x80\xa1", 3},
+    {"Delta", 5, "\xce\x94", 2},
+    {"Eacute", 6, "\xc3\x89", 2},
+    {"Omega", 5, "\xce\xa9", 2},
+    {"Ouml", 4, "\xc3\x96", 2},
+    {"Pi", 2, "\xce\xa0", 2},
+    {"Prime", 5, "\xe2\x80\xb3", 3},
+    {"Sigma", 5, "\xce\xa3", 2},
+    {"Uuml", 4, "\xc3\x9c", 2},
+    {"aacute", 6, "\xc3\xa1", 2},
+    {"acirc", 5, "\xc3\xa2", 2},
+    {"aelig", 5, "\xc3\xa6", 2},
+    {"agrave", 6, "\xc3\xa0", 2},
+    {"alpha", 5, "\xce\xb1", 2},
+    {"amp", 3, "\x26", 1},
+    {"apos", 4, "\x27", 1},
+    {"aring", 5, "\xc3\xa5", 2},
+    {"asymp", 5, "\xe2\x89\x88", 3},
+    {"auml", 4, "\xc3\xa4", 2},
+    {"beta", 4, "\xce\xb2", 2},
+    {"bull", 4, "\xe2\x80\xa2", 3},
+    {"ccedil", 6, "\xc3\xa7", 2},
+    {"cent", 4, "\xc2\xa2", 2},
+    {"chi", 3, "\xcf\x87", 2},
+    {"copy", 4, "\xc2\xa9", 2},
+    {"curren", 6, "\xc2\xa4", 2},
+    {"dagger", 6, "\xe2\x80\xa0", 3},
+    {"darr", 4, "\xe2\x86\x93", 3},
+    {"deg", 3, "\xc2\xb0", 2},
+    {"delta", 5, "\xce\xb4", 2},
+    {"divide", 6, "\xc3\xb7", 2},
+    {"eacute", 6, "\xc3\xa9", 2},
+    {"ecirc", 5, "\xc3\xaa", 2},
+    {"egrave", 6, "\xc3\xa8", 2},
+    {"epsilon", 7, "\xce\xb5", 2},
+    {"equiv", 5, "\xe2\x89\xa1", 3},
+    {"eta", 3, "\xce\xb7", 2},
+    {"eth", 3, "\xc3\xb0", 2},
+    {"euro", 4, "\xe2\x82\xac", 3},
+    {"frac12", 6, "\xc2\xbd", 2},
+    {"frac14", 6, "\xc2\xbc", 2},
+    {"frac34", 6, "\xc2\xbe", 2},
+    {"gamma", 5, "\xce\xb3", 2},
+    {"ge", 2, "\xe2\x89\xa5", 3},
+    {"gt", 2, "\x3e", 1},
+    {"harr", 4, "\xe2\x86\x94", 3},
+    {"hellip", 6, "\xe2\x80\xa6", 3},
+    {"iacute", 6, "\xc3\xad", 2},
+    {"iexcl", 5, "\xc2\xa1", 2},
+    {"infin", 5, "\xe2\x88\x9e", 3},
+    {"iota", 4, "\xce\xb9", 2},
+    {"iquest", 6, "\xc2\xbf", 2},
+    {"iuml", 4, "\xc3\xaf", 2},
+    {"kappa", 5, "\xce\xba", 2},
+    {"lambda", 6, "\xce\xbb", 2},
+    {"laquo", 5, "\xc2\xab", 2},
+    {"larr", 4, "\xe2\x86\x90", 3},
+    {"ldquo", 5, "\xe2\x80\x9c", 3},
+    {"le", 2, "\xe2\x89\xa4", 3},
+    {"lowast", 6, "\xe2\x88\x97", 3},
+    {"lsquo", 5, "\xe2\x80\x98", 3},
+    {"lt", 2, "\x3c", 1},
+    {"mdash", 5, "\xe2\x80\x94", 3},
+    {"micro", 5, "\xc2\xb5", 2},
+    {"middot", 6, "\xc2\xb7", 2},
+    {"minus", 5, "\xe2\x88\x92", 3},
+    {"mu", 2, "\xce\xbc", 2},
+    {"nbsp", 4, "\xc2\xa0", 2},
+    {"ndash", 5, "\xe2\x80\x93", 3},
+    {"ne", 2, "\xe2\x89\xa0", 3},
+    {"ntilde", 6, "\xc3\xb1", 2},
+    {"nu", 2, "\xce\xbd", 2},
+    {"oacute", 6, "\xc3\xb3", 2},
+    {"omega", 5, "\xcf\x89", 2},
+    {"omicron", 7, "\xce\xbf", 2},
+    {"oplus", 5, "\xe2\x8a\x95", 3},
+    {"ordf", 4, "\xc2\xaa", 2},
+    {"ordm", 4, "\xc2\xba", 2},
+    {"oslash", 6, "\xc3\xb8", 2},
+    {"otimes", 6, "\xe2\x8a\x97", 3},
+    {"ouml", 4, "\xc3\xb6", 2},
+    {"para", 4, "\xc2\xb6", 2},
+    {"permil", 6, "\xe2\x80\xb0", 3},
+    {"perp", 4, "\xe2\x8a\xa5", 3},
+    {"phi", 3, "\xcf\x86", 2},
+    {"pi", 2, "\xcf\x80", 2},
+    {"plusmn", 6, "\xc2\xb1", 2},
+    {"pound", 5, "\xc2\xa3", 2},
+    {"prime", 5, "\xe2\x80\xb2", 3},
+    {"psi", 3, "\xcf\x88", 2},
+    {"quot", 4, "\x22", 1},
+    {"radic", 5, "\xe2\x88\x9a", 3},
+    {"raquo", 5, "\xc2\xbb", 2},
+    {"rarr", 4, "\xe2\x86\x92", 3},
+    {"rdquo", 5, "\xe2\x80\x9d", 3},
+    {"reg", 3, "\xc2\xae", 2},
+    {"rho", 3, "\xcf\x81", 2},
+    {"rsquo", 5, "\xe2\x80\x99", 3},
+    {"sdot", 4, "\xe2\x8b\x85", 3},
+    {"sect", 4, "\xc2\xa7", 2},
+    {"shy", 3, "\xc2\xad", 2},
+    {"sigma", 5, "\xcf\x83", 2},
+    {"sup1", 4, "\xc2\xb9", 2},
+    {"sup2", 4, "\xc2\xb2", 2},
+    {"sup3", 4, "\xc2\xb3", 2},
+    {"szlig", 5, "\xc3\x9f", 2},
+    {"tau", 3, "\xcf\x84", 2},
+    {"theta", 5, "\xce\xb8", 2},
+    {"thorn", 5, "\xc3\xbe", 2},
+    {"times", 5, "\xc3\x97", 2},
+    {"trade", 5, "\xe2\x84\xa2", 3},
+    {"uacute", 6, "\xc3\xba", 2},
+    {"uarr", 4, "\xe2\x86\x91", 3},
+    {"ucirc", 5, "\xc3\xbb", 2},
+    {"upsilon", 7, "\xcf\x85", 2},
+    {"uuml", 4, "\xc3\xbc", 2},
+    {"xi", 2, "\xce\xbe", 2},
+    {"yen", 3, "\xc2\xa5", 2},
+    {"zeta", 4, "\xce\xb6", 2},
+};
+#define N_CENTS ((int)(sizeof(CENTS) / sizeof(CENTS[0])))
+
+static const CEntEnt *cent_lookup(const uint8_t *s, Py_ssize_t len)
+{
+    int lo = 0, hi = N_CENTS - 1;
+    if (len > 7)
+        return NULL;
+    while (lo <= hi) {
+        int mid = (lo + hi) / 2;
+        const CEntEnt *e = &CENTS[mid];
+        Py_ssize_t cl = len < e->nlen ? len : e->nlen;
+        int c = memcmp(s, e->name, cl);
+        if (c == 0)
+            c = (int)(len - e->nlen);
+        if (c == 0)
+            return e;
+        if (c < 0)
+            hi = mid - 1;
+        else
+            lo = mid + 1;
+    }
+    return NULL;
+}
+
+/* WHATWG numeric-reference replacement (entities._NUMERIC_REPLACE);
+ * writes the UTF-8 expansion, returns bytes written */
+static int cent_numeric_utf8(unsigned long num, uint8_t *o)
+{
+    static const unsigned short c1map[32] = {
+        0x20AC, 0x0081, 0x201A, 0x0192, 0x201E, 0x2026, 0x2020, 0x2021,
+        0x02C6, 0x2030, 0x0160, 0x2039, 0x0152, 0x008D, 0x017D, 0x008F,
+        0x0090, 0x2018, 0x2019, 0x201C, 0x201D, 0x2022, 0x2013, 0x2014,
+        0x02DC, 0x2122, 0x0161, 0x203A, 0x0153, 0x009D, 0x017E, 0x0178,
+    };
+    if (num == 0x00 || (num >= 0xD800 && num <= 0xDFFF) || num > 0x10FFFF)
+        num = 0xFFFD;
+    else if (num == 0x0D)
+        num = 0x0D;  /* table maps it to itself */
+    else if (num >= 0x80 && num <= 0x9F)
+        num = c1map[num - 0x80];
+    if (num < 0x80) {
+        o[0] = (uint8_t)num;
+        return 1;
+    }
+    if (num < 0x800) {
+        o[0] = 0xC0 | (num >> 6);
+        o[1] = 0x80 | (num & 0x3F);
+        return 2;
+    }
+    if (num < 0x10000) {
+        o[0] = 0xE0 | (num >> 12);
+        o[1] = 0x80 | ((num >> 6) & 0x3F);
+        o[2] = 0x80 | (num & 0x3F);
+        return 3;
+    }
+    o[0] = 0xF0 | (num >> 18);
+    o[1] = 0x80 | ((num >> 12) & 0x3F);
+    o[2] = 0x80 | ((num >> 6) & 0x3F);
+    o[3] = 0x80 | (num & 0x3F);
+    return 4;
+}
+
+static int cent_alnum(uint8_t c)
+{
+    return (c >= '0' && c <= '9') || (c >= 'a' && c <= 'z')
+        || (c >= 'A' && c <= 'Z');
+}
+
+/* decode charrefs over bytes [a, b) entirely in C, or set *delegate
+ * when an ambiguous reference needs entities.decode_charrefs (the
+ * longest-prefix legacy machinery).  Output is never longer than the
+ * input span (every reference is >= its UTF-8 expansion). */
+static PyObject *c_decode_span(P *p, Py_ssize_t a, Py_ssize_t b,
+                               int *delegate)
+{
+    const uint8_t *s = p->b;
+    Py_ssize_t i = a, o = 0;
+    uint8_t *out = PyMem_Malloc((b - a) ? (b - a) : 1);
+    PyObject *res;
+    if (out == NULL) {
+        PyErr_NoMemory();
+        return NULL;
+    }
+    while (i < b) {
+        const uint8_t *ap = memchr(s + i, '&', b - i);
+        Py_ssize_t j, k;
+        if (ap == NULL) {
+            memcpy(out + o, s + i, b - i);
+            o += b - i;
+            break;
+        }
+        j = ap - s;
+        memcpy(out + o, s + i, j - i);
+        o += j - i;
+        i = j;
+        j = i + 1;
+        if (j < b && s[j] == '#') {
+            int hex = 0;
+            unsigned long num = 0;
+            Py_ssize_t d0;
+            k = j + 1;
+            if (k < b && (s[k] == 'x' || s[k] == 'X')) {
+                hex = 1;
+                k++;
+            }
+            d0 = k;
+            while (k < b) {
+                uint8_t c = s[k];
+                unsigned v;
+                if (c >= '0' && c <= '9')
+                    v = c - '0';
+                else if (hex && c >= 'a' && c <= 'f')
+                    v = c - 'a' + 10;
+                else if (hex && c >= 'A' && c <= 'F')
+                    v = c - 'A' + 10;
+                else
+                    break;
+                if (num < 0x110000)
+                    num = num * (hex ? 16 : 10) + v;
+                k++;
+            }
+            if (k == d0) {
+                /* "&#"/"&#x" with no digits: '&' literal, rescan after */
+                out[o++] = '&';
+                i++;
+                continue;
+            }
+            o += cent_numeric_utf8(num, out + o);
+            if (k < b && s[k] == ';')
+                k++;
+            i = k;
+            continue;
+        }
+        k = j;
+        while (k < b && cent_alnum(s[k]))
+            k++;
+        if (k == j) {
+            out[o++] = '&';
+            i++;
+            continue;
+        }
+        if (k < b && s[k] == ';') {
+            const CEntEnt *e = cent_lookup(s + j, k - j);
+            if (e != NULL) {
+                memcpy(out + o, e->out, e->olen);
+                o += e->olen;
+                i = k + 1;
+                continue;
+            }
+        }
+        /* unknown or legacy (no-semicolon) reference: python decoder */
+        PyMem_Free(out);
+        *delegate = 1;
+        return NULL;
+    }
+    res = PyUnicode_DecodeUTF8((const char *)out, o, "surrogatepass");
+    PyMem_Free(out);
+    return res;
+}
+
 static PyObject *span_str(P *p, Py_ssize_t a, Py_ssize_t b,
                           int amp, int in_attr)
 {
-    PyObject *s = PyUnicode_DecodeUTF8((const char *)p->b + a, b - a,
-                                       "surrogatepass");
+    PyObject *s;
+    if (amp) {
+        int delegate = 0;
+        s = c_decode_span(p, a, b, &delegate);
+        if (s != NULL || !delegate)
+            return s;
+        /* ambiguous reference: the python longest-prefix decoder */
+    }
+    s = PyUnicode_DecodeUTF8((const char *)p->b + a, b - a,
+                             "surrogatepass");
     if (s == NULL || !amp)
         return s;
     {
