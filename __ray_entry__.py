@@ -144,6 +144,165 @@ def _langid_oracle_sql() -> str:
     """
 
 
+def _double_list_sql(vec) -> str:
+    """[..]::DOUBLE[] literal with full round-trip precision."""
+    return "[%s]::DOUBLE[]" % ", ".join(repr(float(x)) for x in vec)
+
+
+def _ann_lsh_oracle_sql() -> str:
+    """Independent SQL re-derivation of ops/similarity.lsh_topk (as
+    wired by q_ann_lsh: probes=4, k=10, queries vec_id < 5): the fixed
+    random hyperplanes (seed 0xC0FFEE, _planes) ship as a VALUES table;
+    16-bit sign bucketing, margin-ordered multi-probe expansion (the 4
+    least-confident single-bit flips + the 2-bit flip of the two least
+    confident planes), global candidate filtering, and exact cosine
+    top-10 over the candidates all run in SQL.  Every sign / ordering
+    decision is float-sum-order-safe: min |projection| over all shipped
+    corpora is >= 2e-5 and min probe-order gap >= 2.8e-4 (pinned by
+    tests/test_similarity_oracle.py) vs ~1e-13 summation noise."""
+    from nipper_ray.ops.similarity import _N_PLANES, _planes
+
+    planes = _planes(64)
+    rows = ", ".join("(%d, %s)" % (b, _double_list_sql(planes[b]))
+                     for b in range(_N_PLANES))
+    return f"""
+        WITH pl AS (SELECT * FROM (VALUES {rows}) t(b, w)),
+        e AS (SELECT vec_id,
+                     list_transform(embedding,
+                                    x -> CAST(x AS DOUBLE)) AS emb,
+                     embedding
+              FROM embeddings),
+        proj AS (SELECT e.vec_id, pl.b,
+                        list_dot_product(e.emb, pl.w) AS p
+                 FROM e CROSS JOIN pl),
+        bkt AS (SELECT vec_id,
+                       CAST(sum(CASE WHEN p > 0 THEN (1::BIGINT << b)
+                                     ELSE 0 END) AS BIGINT) AS bucket
+                FROM proj GROUP BY vec_id),
+        qkey AS (SELECT * FROM bkt WHERE vec_id < 5),
+        flips AS (SELECT vec_id, b,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY abs(p), b) AS rn
+                  FROM proj WHERE vec_id < 5
+                  QUALIFY rn <= 4),
+        wanted AS (
+            SELECT bucket FROM qkey
+            UNION
+            SELECT xor(k.bucket, 1::BIGINT << f.b)
+            FROM qkey k JOIN flips f USING (vec_id)
+            UNION
+            SELECT xor(xor(k.bucket, 1::BIGINT << f0.b),
+                       1::BIGINT << f1.b)
+            FROM qkey k
+            JOIN flips f0 ON f0.vec_id = k.vec_id AND f0.rn = 1
+            JOIN flips f1 ON f1.vec_id = k.vec_id AND f1.rn = 2),
+        cand AS (SELECT e.vec_id, e.embedding
+                 FROM e JOIN bkt USING (vec_id)
+                 WHERE bucket IN (SELECT bucket FROM wanted)),
+        q AS (SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id < 5),
+        s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(q.embedding,
+                                                  c.embedding), 6)
+                         AS sim
+              FROM q CROSS JOIN cand c)
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id)
+                   AS rank
+        FROM s QUALIFY rank <= 10
+        ORDER BY query_id, rank
+    """
+
+
+def _ivf_oracle_centroids(sf_dir: str, n_cells: int = 16,
+                          sample_size: int = 2048) -> np.ndarray:
+    """The q_ann_ivf codebook recomputed WITHOUT Ray (pure pyarrow +
+    numpy): the same hash-spread sample (rows with the smallest
+    xxh64(vec_id), survivor mask h % m == 0) and the same deterministic
+    Lloyd iterations (_kmeans_cosine).  Bitwise equality with the
+    distributed _hash_spread_sample path is pinned by
+    tests/test_similarity_oracle.py."""
+    import pyarrow.parquet as pq
+
+    from nipper_ray.frontier.hashing import xxh64_fixed_rows
+    from nipper_ray.ops.similarity import _kmeans_cosine
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = (t.column("vec_id").to_numpy(zero_copy_only=False)
+           .astype(np.int64))
+    col = t.column("embedding").combine_chunks()
+    d = len(col[0])
+    m = (col.flatten().to_numpy(zero_copy_only=False)
+         .reshape(len(ids), d).astype(np.float64))
+    n = len(ids)
+    mod = np.uint64(max(1, n // (4 * sample_size)))
+    h = xxh64_fixed_rows(
+        np.ascontiguousarray(ids).view(np.uint8).reshape(n, 8))
+    mask = (h % mod) == 0
+    order = np.argsort(h[mask], kind="stable")
+    sample = m[mask][order][:sample_size]
+    return _kmeans_cosine(sample, n_cells)
+
+
+def _ann_ivf_oracle_sql() -> str:
+    """Independent SQL re-derivation of ops/similarity.ivf_topk (as
+    wired by q_ann_ivf: n_cells=16, nprobe=4, k=10): the deterministic
+    codebook — a pure function of the corpus, recomputed Ray-free by
+    _ivf_oracle_centroids — ships as a VALUES table; cell assignment
+    (argmax dot, scale-invariant so normalization is skipped), per-query
+    nprobe cell selection, candidate filtering and exact cosine top-10
+    all run in SQL.  Assignment margins >= 8.9e-5 at every shipped
+    scale (pinned) vs ~1e-13 summation noise.  The gate scale is fixed
+    (the driver compares at sf0.01); NIPPER_RAY_ORACLE_SF overrides the
+    corpus for local sweeps at other scales."""
+    sf_dir = os.environ.get("NIPPER_RAY_ORACLE_SF",
+                            "/root/testdata/sf0.01")
+    cent = _ivf_oracle_centroids(sf_dir)
+    rows = ", ".join("(%d, %s)" % (j, _double_list_sql(cent[j]))
+                     for j in range(len(cent)))
+    return f"""
+        WITH cent AS (SELECT * FROM (VALUES {rows}) t(cell, c)),
+        e AS (SELECT vec_id,
+                     list_transform(embedding,
+                                    x -> CAST(x AS DOUBLE)) AS emb,
+                     embedding
+              FROM embeddings),
+        dots AS (SELECT e.vec_id, cent.cell,
+                        list_dot_product(e.emb, cent.c) AS d
+                 FROM e CROSS JOIN cent),
+        assign AS (SELECT vec_id, cell,
+                          row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY d DESC, cell)
+                              AS rn
+                   FROM dots QUALIFY rn = 1),
+        probes AS (SELECT DISTINCT cell FROM (
+                   SELECT vec_id, cell,
+                          row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY d DESC, cell)
+                              AS rn
+                   FROM dots WHERE vec_id < 5
+                   QUALIFY rn <= 4)),
+        cand AS (SELECT e.vec_id, e.embedding
+                 FROM e JOIN assign USING (vec_id)
+                 WHERE cell IN (SELECT cell FROM probes)),
+        q AS (SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id < 5),
+        s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(q.embedding,
+                                                  c.embedding), 6)
+                         AS sim
+              FROM q CROSS JOIN cand c)
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id)
+                   AS rank
+        FROM s QUALIFY rank <= 10
+        ORDER BY query_id, rank
+    """
+
+
 # exact word-3-gram Jaccard join over documents, parameterized on the
 # threshold — the minhash_neardup (0.6) and ngram_jaccard (0.5)
 # oracles, also reused as the pair source of the dedup_clusters oracle
@@ -2212,7 +2371,10 @@ def oracle_sql() -> dict[str, str]:
             FROM s ORDER BY media_id
         """,
         "langid": _langid_oracle_sql(),
-        # ann_lsh / ann_ivf: intentionally no oracle (approximate by
-        # construction) -> driver records rows-only checks; recall +
-        # determinism pinned by pytest instead.
+        # ann_lsh / ann_ivf: approximate-by-construction but fully
+        # deterministic, so exactly SQL-derivable — fixed hyperplanes /
+        # the corpus-determined codebook ship as VALUES tables and the
+        # bucketing / probe / filter / top-k logic runs in SQL.
+        "ann_lsh": _ann_lsh_oracle_sql(),
+        "ann_ivf": _ann_ivf_oracle_sql(),
     }

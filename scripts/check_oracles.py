@@ -12,6 +12,9 @@ import duckdb
 import pandas as pd
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+# corpus-derived oracle constants (ann_ivf codebook) must follow the
+# sweep's scale; the driver's gate runs at the sf0.01 default
+os.environ["NIPPER_RAY_ORACLE_SF"] = SF_DIR
 ONLY = sys.argv[2].split(",") if len(sys.argv) > 2 else None
 
 TABLES = ("region nation customer supplier part orders lineitem events "
