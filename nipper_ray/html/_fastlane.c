@@ -18,9 +18,11 @@
  * applet/marquee/object afe markers, plaintext, TEMPLATES (contents
  * documents, the template-modes stack, form/html/body pointer gates,
  * foster/agency template arms) and frameset w/ exact frameset_ok
- * tracking: EVERY insertion mode runs natively.  Remaining aborts are
- * input-shaped only (NUL bytes, name-cache saturation, >64-deep
- * templates, non-ascii foreign end tags, oversized tag names).
+ * tracking: EVERY insertion mode — and every tokenizer recovery path,
+ * including per-context NUL-byte replacement/drop rules, bogus
+ * comments and late doctypes — runs natively.  Remaining aborts are
+ * resource caps only (name-cache saturation, >64-deep templates,
+ * non-ascii foreign end tags, oversized tag names, >MAX_ATTRS).
  * Differential tests (tests/test_fastlane_differential.py) pin the
  * equivalence.
  *
@@ -749,8 +751,9 @@ static int afe_push_noah(P *p, int el, int tok, PyObject *name, PyObject *attrs)
 #define TABLEISH(tok) ((tok) == T_TABLE || (tok) == T_TBTFTH || (tok) == T_TR)
 static int cur_top(P *p);
 
-/* treebuilder._insertion_point, foster branch (template-free: the
- * subset aborts before any template can reach the open stack).
+/* treebuilder._insertion_point, foster branch, including the
+ * last_template arm (templates run natively; a template above the
+ * table redirects the fostered insert into its contents document).
  * Emits the "foster-parenting" parse error exactly where the Python
  * machine does (once per fostered insertion). */
 static int foster_point(P *p, int *parent, int *before)

@@ -331,16 +331,31 @@ def shingle_set_stage(batch: pa.Table, id_col: str = "doc_id",
     })
 
 
+def _threshold_fraction(threshold: float) -> tuple[int, int]:
+    """Exact (num, den) for the decimal threshold, with the denominator
+    BOUNDED at 10**6 so the downstream int64 vector math cannot
+    overflow (num * (sa + sb) needs sa + sb > 9e12 shingles to wrap —
+    physically impossible — whereas Fraction(str(1/3)) yields
+    num ~ 3.3e15, which wrapped past ~2.7k shingles).  When the exact
+    fraction needs a bigger denominator, round DOWN to the nearest
+    n/10**6: a slightly lower threshold only LOOSENS the prefix /
+    positional filters (recall-safe; the exact Jaccard verification
+    downstream restores precision)."""
+    from fractions import Fraction
+
+    fr = Fraction(str(threshold))
+    if fr.denominator > 10**6:
+        fr = Fraction(int(fr * 10**6), 10**6)  # floor for positives
+    return fr.numerator, fr.denominator
+
+
 def _prefix_len(sizes: np.ndarray, threshold: float) -> np.ndarray:
     """Prefix-filter length p = s - ceil(t*s) + 1 per set size, with the
     ceil computed in EXACT integer arithmetic (float ceil(0.6*5) = 4
     because 0.6*5 = 3.0000000000000004 — an over-ceil SHRINKS the prefix
     and silently loses recall, so the decimal threshold is taken as an
-    exact fraction)."""
-    from fractions import Fraction
-
-    fr = Fraction(str(threshold))
-    num, den = fr.numerator, fr.denominator
+    exact denominator-bounded fraction)."""
+    num, den = _threshold_fraction(threshold)
     s = sizes.astype(np.int64)
     return s - (num * s + den - 1) // den + 1
 
@@ -459,17 +474,25 @@ def pairs_from_token_partition(g: pd.DataFrame, threshold: float,
     when that bound is under alpha = ceil(t/(1+t) * (sa+sb)), the
     overlap a Jaccard of t forces.
 
-    Recall stays exactly 1 at the PAIR level: a qualifying pair's
-    first common token w (under the global order) has all o common
-    tokens ranked >= w in both sets, so min(sa-i, sb-j) >= o >= alpha
-    — the emission at w always passes even if emissions at later
-    shared tokens are pruned.  Buckets above ``bucket_cap`` fall back
-    to the unfiltered star emission (k-1 pairs to the min id), which
-    preserves the transitive closure as in the LSH path."""
-    from fractions import Fraction
-
-    fr = Fraction(str(threshold))
-    num, den = fr.numerator, fr.denominator
+    Recall at the PAIR level is exactly 1 WHEN NO TOKEN BUCKET
+    EXCEEDS ``bucket_cap``: a qualifying pair's first common token w
+    (under the global order) has all o common tokens ranked >= w in
+    both sets, so min(sa-i, sb-j) >= o >= alpha — the emission at w
+    always passes even if emissions at later shared tokens are
+    pruned.  Buckets above ``bucket_cap`` fall back to the unfiltered
+    star emission (k-1 pairs to the bucket's min id).  In that regime
+    the guarantee weakens two ways: (1) the pair itself may only be
+    reachable through min-id star edges, i.e. closure-level rather
+    than pair-level (and only when the star pairs themselves pass
+    Jaccard verification, as they do for identical-content floods —
+    the case the cap exists for); (2) if a qualifying pair's FIRST
+    common token sits in an over-cap bucket, its direct emissions at
+    later shared tokens may be positionally pruned (fewer common
+    tokens remain past those positions).  Shipped corpora have no
+    prefix-token bucket above the default cap (pinned by tests); for
+    an unconditional pair-level contract on a skewed corpus, raise
+    ``bucket_cap`` above the hottest prefix-token df."""
+    num, den = _threshold_fraction(threshold)
     key = g["token"].to_numpy(dtype=np.int64)
     ids = g["doc_id"].to_numpy(dtype=np.int64)
     pos = g["pos"].to_numpy(dtype=np.int64)
@@ -556,12 +579,13 @@ def ngram_jaccard_neardup(corpus_ds, threshold: float = 0.5, n: int = 3,
     Dataset[a, b] of ALL pairs with true word-n-gram Jaccard >=
     threshold — no probabilistic candidate step.
 
-    Candidates come from the AllPairs/ppjoin prefix filter
-    (recall exactly 1 for any corpus, unlike LSH banding whose recall
-    depends on the band geometry), so this is the operator to reach for
-    when the dedup contract is exact; ``minhash_neardup`` trades that
-    guarantee for a signature table ~10x narrower than the shingle
-    blobs.  Same scale shape as the minhash path: one streamed shingle
+    Candidates come from the AllPairs/ppjoin prefix filter (recall
+    exactly 1 whenever no prefix-token bucket exceeds ``bucket_cap`` —
+    deterministic, unlike LSH banding whose recall depends on the band
+    geometry; see ``pairs_from_token_partition`` for the over-cap
+    regime), so this is the operator to reach for when the dedup
+    contract is exact; ``minhash_neardup`` trades that guarantee for a
+    signature table ~10x narrower than the shingle blobs.  Same scale shape as the minhash path: one streamed shingle
     pass, a narrow (token, doc_id, pos, sz) shuffle of PREFIX tokens
     only (~(1-t) of each set, positions feeding the ppjoin positional
     filter), routed candidate dedupe, shingle-blob joins, exact

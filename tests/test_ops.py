@@ -496,6 +496,61 @@ def test_ngram_jaccard_neardup_matches_bruteforce(ray_session):
     assert (3, 10) in gp and (8, 21) in gp
 
 
+def test_ngram_jaccard_overcap_star_closure(ray_session):
+    """Over-cap regime of the ppjoin path (every prefix-token bucket
+    of an identical-doc flood exceeds bucket_cap): candidates degrade
+    to min-id star emission, the positional filter never drops a star
+    edge (identical docs verify at Jaccard 1), and the transitive
+    closure still recovers the full cluster — the exact contract the
+    pairs_from_token_partition docstring now states for this regime."""
+    import ray.data as rd
+
+    from nipper_ray.ops.dedup import (ngram_jaccard_neardup,
+                                      union_find_clusters)
+
+    same = ("boilerplate nav header footer copyright terms privacy "
+            "contact about careers press blog help ") * 4
+    docs = [same] * 600
+    docs += ["unique document number %d with its own %s content words"
+             % (i, "y" * (i + 3)) for i in range(5)]
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+    got = ngram_jaccard_neardup(rd.from_arrow(t), threshold=0.5, n=3,
+                                num_partitions=2,
+                                bucket_cap=64).to_pandas()
+    assert len(got) == 599  # star shape, not 600*599/2
+    roots = union_find_clusters(list(zip(got["a"], got["b"])))
+    cluster = {x for x, r in roots.items() if r == 0} | {0}
+    assert cluster == set(range(600))
+
+
+def test_threshold_fraction_overflow_guard():
+    """Thresholds with long decimal expansions (e.g. 1/3) used to build
+    Fraction numerators ~3.3e15 that overflowed int64 in the vectorized
+    alpha = ceil(t/(1+t)*(sa+sb)) once sa+sb passed ~2.7k shingles,
+    falsely pruning qualifying pairs.  The bounded fraction rounds DOWN
+    (recall-safe) and keeps the int64 math exact."""
+    import pandas as pd
+
+    from nipper_ray.ops.dedup import (_threshold_fraction,
+                                      pairs_from_token_partition)
+
+    num, den = _threshold_fraction(1 / 3)
+    assert den <= 10**6 and num / den <= 1 / 3
+    assert num * 2 * 10**7 < 2**63  # no wrap for any physical set size
+    # exact decimals stay exact
+    assert _threshold_fraction(0.6) == (3, 5)
+    assert _threshold_fraction(0.88) == (22, 25)
+    # a qualifying pair of LARGE sets sharing its first token must
+    # survive the positional filter at threshold 1/3
+    g = pd.DataFrame({"token": np.array([7, 7], dtype=np.int64),
+                      "doc_id": np.array([1, 2], dtype=np.int64),
+                      "pos": np.array([0, 0], dtype=np.int64),
+                      "sz": np.array([5000, 5000], dtype=np.int64)})
+    out = pairs_from_token_partition(g, threshold=1 / 3)
+    assert list(zip(out["a"], out["b"])) == [(1, 2)]
+
+
 def test_decontam_stage_kernel():
     """Overlap counting against a benchmark shingle set: exact distinct
     3-gram intersection, integer ppm, short docs dropped."""
