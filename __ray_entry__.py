@@ -1648,16 +1648,20 @@ def q_minhash_neardup(sf_dir: str):
     rd = _rd()
     corpus = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                              columns=["doc_id", "text"])
-    return minhash_neardup(corpus, threshold=0.6, n=3, n_bands=16,
-                           num_partitions=4)
+    # NIPPER_RAY_MINHASH_CKPT forces the Parquet-checkpoint branch
+    # point (the 100 TB shape) through the driver's correctness gate
+    return minhash_neardup(
+        corpus, threshold=0.6, n=3, n_bands=16, num_partitions=4,
+        checkpoint_dir=os.environ.get("NIPPER_RAY_MINHASH_CKPT") or None)
 
 
 def q_ngram_jaccard(sf_dir: str):
     """EXACT n-gram Jaccard near-dup via the AllPairs/ppjoin prefix
     filter (ops/dedup.py ngram_jaccard_neardup): shingle sets -> prefix
     tokens under the ascending-hash global order -> token-bucket
-    candidates (recall exactly 1 by the prefix-filter theorem, for ANY
-    corpus) -> shingle-blob hash join -> true Jaccard >= 0.5.
+    candidates (recall exactly 1 by the prefix-filter theorem whenever
+    no prefix-token bucket exceeds the star cap — true of the shipped
+    corpora, pinned) -> shingle-blob hash join -> true Jaccard >= 0.5.
 
     Complements minhash_neardup: same verification tail, but the
     candidate step is deterministic-exact instead of LSH-probabilistic,

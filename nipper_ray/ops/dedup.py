@@ -284,10 +284,31 @@ def jaccard_verify_stage(batch: pa.Table,
     return batch.select(["a", "b"]).filter(pa.array(keep, pa.bool_()))
 
 
+def _signature_branch_point(sh, checkpoint_dir: str | None,
+                            columns: list[str]):
+    """The near-dup pipelines read their signature table twice (banding
+    / prefix pass + the verify joins).  Default: ``materialize()`` —
+    distributed and spillable, but pinned in the object store for the
+    run.  With ``checkpoint_dir``: write the table to sharded Parquet
+    ONCE and read both branches from disk — the 100 TB shape (the
+    object store never holds the whole table, and a failed run can
+    reuse the finished checkpoint).  Equality of the two modes is
+    pinned by tests/test_ops.py."""
+    if checkpoint_dir is None:
+        return sh.materialize()
+    import ray.data as rd
+
+    sh.write_parquet(checkpoint_dir)
+    # columns= always: a hive-partitioned path would otherwise grow a
+    # partition column (CLAUDE.md gotcha)
+    return rd.read_parquet(checkpoint_dir, columns=columns)
+
+
 def minhash_neardup(corpus_ds, threshold: float = 0.6, n: int = 3,
                     n_bands: int = 16, num_partitions: int = 8,
                     id_col: str = "doc_id", text_col: str = "text",
-                    bucket_cap: int = _BUCKET_CAP):
+                    bucket_cap: int = _BUCKET_CAP,
+                    checkpoint_dir: str | None = None):
     """Full distributed MinHash near-dup pipeline: Dataset[id, text] ->
     Dataset[a, b] of verified pairs (true n-gram Jaccard >= threshold).
 
@@ -295,13 +316,14 @@ def minhash_neardup(corpus_ds, threshold: float = 0.6, n: int = 3,
     table (id, minhash, shingle-blob), which is the branch point for
     (a) LSH banding -> narrow candidate shuffle and (b) the two hash
     joins that bring each pair's shingle blobs to the verify task.
-    ``materialize()`` pins the signature table in the (distributed,
-    spillable) object store — at 100 TB write it to Parquet once and
-    read both branches from that checkpoint instead."""
+    The branch point is ``materialize()`` by default and a Parquet
+    checkpoint when ``checkpoint_dir`` is given — the 100 TB shape
+    (see _signature_branch_point)."""
     sh = corpus_ds.map_batches(
         shingle_minhash_stage, batch_format="pyarrow", batch_size=256,
         fn_kwargs={"id_col": id_col, "text_col": text_col, "n": n})
-    sh = sh.materialize()
+    sh = _signature_branch_point(sh, checkpoint_dir,
+                                 [id_col, "minhash", "shingles"])
     bands = sh.select_columns([id_col, "minhash"]).map_batches(
         lsh_bands_stage, batch_format="pyarrow",
         fn_kwargs={"n_bands": n_bands, "id_col": id_col,
@@ -574,7 +596,8 @@ def ngram_jaccard_neardup(corpus_ds, threshold: float = 0.5, n: int = 3,
                           num_partitions: int = 8,
                           id_col: str = "doc_id", text_col: str = "text",
                           bucket_cap: int = _BUCKET_CAP,
-                          n_parts: int = 64):
+                          n_parts: int = 64,
+                          checkpoint_dir: str | None = None):
     """EXACT n-gram Jaccard near-dup: Dataset[id, text] ->
     Dataset[a, b] of ALL pairs with true word-n-gram Jaccard >=
     threshold — no probabilistic candidate step.
@@ -594,7 +617,8 @@ def ngram_jaccard_neardup(corpus_ds, threshold: float = 0.5, n: int = 3,
     sh = corpus_ds.map_batches(
         shingle_set_stage, batch_format="pyarrow", batch_size=256,
         fn_kwargs={"id_col": id_col, "text_col": text_col, "n": n})
-    sh = sh.materialize()
+    sh = _signature_branch_point(sh, checkpoint_dir,
+                                 [id_col, "shingles"])
     sketch = token_df_sketch(sh)
     pref = sh.map_batches(
         prefix_tokens_stage, batch_format="pyarrow",

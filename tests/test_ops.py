@@ -551,6 +551,43 @@ def test_threshold_fraction_overflow_guard():
     assert list(zip(out["a"], out["b"])) == [(1, 2)]
 
 
+def test_neardup_checkpoint_branch_point_equality(ray_session, tmp_path):
+    """checkpoint_dir= (Parquet branch point, the 100 TB shape) yields
+    the exact same verified pair set as the materialize() default, for
+    both near-dup pipelines."""
+    import ray.data as rd
+
+    from nipper_ray.ops.dedup import minhash_neardup, ngram_jaccard_neardup
+
+    docs = ["document number %d words %s etc common tail phrase here"
+            % (i, " ".join("w%d" % (i * 7 + j) for j in range(8)))
+            for i in range(40)]
+    docs[11] = docs[4] + " tiny tweak"
+    docs[23] = docs[9]
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+
+    def pairs(out):
+        df = out.to_pandas()
+        return sorted(zip(df["a"], df["b"]))
+
+    base = pairs(minhash_neardup(rd.from_arrow(t), threshold=0.6,
+                                 num_partitions=2))
+    ckpt = pairs(minhash_neardup(
+        rd.from_arrow(t), threshold=0.6, num_partitions=2,
+        checkpoint_dir=str(tmp_path / "mh_ckpt")))
+    assert ckpt == base and len(base) >= 2
+    # the checkpoint actually landed on disk as sharded parquet
+    assert list((tmp_path / "mh_ckpt").glob("*.parquet"))
+
+    base_ng = pairs(ngram_jaccard_neardup(rd.from_arrow(t), threshold=0.5,
+                                          num_partitions=2))
+    ckpt_ng = pairs(ngram_jaccard_neardup(
+        rd.from_arrow(t), threshold=0.5, num_partitions=2,
+        checkpoint_dir=str(tmp_path / "ng_ckpt")))
+    assert ckpt_ng == base_ng and len(base_ng) >= 2
+
+
 def test_decontam_stage_kernel():
     """Overlap counting against a benchmark shingle set: exact distinct
     3-gram intersection, integer ppm, short docs dropped."""
