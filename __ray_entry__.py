@@ -575,6 +575,29 @@ def _add_micros(t: pa.Table, value_col: str = "value") -> pa.Table:
     return t.append_column("micros", m)
 
 
+def _micros_finalize(t: pa.Table, cols: list[str]) -> pa.Table:
+    """Post-aggregate micros -> sum_value = round(micros / 1e6, 6),
+    pyarrow-native: the reduced table never hops through pandas.  The
+    quotient of an int64 micro-sum is within ~1e-13 of a 6-decimal
+    value, so every round mode agrees; half_towards_infinity is used
+    to mirror DuckDB's round()."""
+    sv = pc.round(pc.divide(pc.cast(t.column("micros"), pa.float64()),
+                            pa.scalar(1e6)), 6,
+                  round_mode="half_towards_infinity")
+    return t.append_column("sum_value", sv).select(cols)
+
+
+def _cents_to_dollars(t: pa.Table, cents_col: str, out_col: str,
+                      ndigits: int = 2) -> pa.Table:
+    """round(cents / 100, 2) as an appended float64 column (exact
+    integer cents divided once at the very end — see _add_micros)."""
+    rev = pc.round(
+        pc.divide(pc.cast(t.column(cents_col), pa.float64()),
+                  pa.scalar(100.0)), ndigits,
+        round_mode="half_towards_infinity")
+    return t.append_column(out_col, rev)
+
+
 _SUM_MICROS_SQL = ("round(CAST(sum(CAST(round(value * 1000000) "
                    "AS BIGINT)) AS DOUBLE) / 1000000.0, 6) "
                    "AS sum_value")
@@ -599,7 +622,6 @@ def entry() -> Any:
 def q_pricing_summary(sf_dir: str):
     """TPC-H-Q1-shaped grouped aggregate with batch-local pre-aggregation
     before the (small) groupby shuffle (ray_guide: aggregation at scale)."""
-    import pandas as pd
     from ray.data.aggregate import Sum
 
     rd = _rd()
@@ -643,23 +665,28 @@ def q_pricing_summary(sf_dir: str):
         Sum("disc_cents", alias_name="disc_cents"),
         Sum("count_order", alias_name="count_order"))
 
-    def finalize(df: "pd.DataFrame") -> "pd.DataFrame":
+    def finalize(t: pa.Table) -> pa.Table:
         # sum_qty is a float sum of INTEGRAL values -> exact
-        df["avg_qty"] = (df.sum_qty / df.count_order).round(6)
-        df["sum_qty"] = df.sum_qty.round(2)
-        df["sum_base_price"] = (df.base_cents / 100.0).round(2)
-        df["sum_disc_price"] = (df.disc_cents / 100.0).round(2)
-        return df[["l_returnflag", "l_linestatus", "sum_qty",
-                   "sum_base_price", "sum_disc_price", "count_order",
-                   "avg_qty"]]
+        t = t.append_column("avg_qty", pc.round(
+            pc.divide(t.column("sum_qty"),
+                      pc.cast(t.column("count_order"), pa.float64())),
+            6, round_mode="half_towards_infinity"))
+        t = t.set_column(
+            t.schema.get_field_index("sum_qty"), "sum_qty",
+            pc.round(t.column("sum_qty"), 2,
+                     round_mode="half_towards_infinity"))
+        t = _cents_to_dollars(t, "base_cents", "sum_base_price")
+        t = _cents_to_dollars(t, "disc_cents", "sum_disc_price")
+        return t.select(["l_returnflag", "l_linestatus", "sum_qty",
+                         "sum_base_price", "sum_disc_price",
+                         "count_order", "avg_qty"])
 
-    return agg.map_batches(finalize, batch_format="pandas")
+    return agg.map_batches(finalize, batch_format="pyarrow")
 
 
 def q_segment_revenue(sf_dir: str):
     """orders ⋈ customer via broadcast small side (no shuffle join):
     the customer dimension is loaded once and looked up per batch."""
-    import pandas as pd
     import pyarrow.parquet as pq
     from ray.data.aggregate import Sum
 
@@ -674,22 +701,29 @@ def q_segment_revenue(sf_dir: str):
                          columns=["o_custkey", "o_totalprice"])
     ds = broadcast_map(ds, seg_of, "o_custkey", "c_mktsegment")
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(t: pa.Table) -> pa.Table:
         # money sums in exact integer cents (scale-stable vs the
-        # oracle's summation order — see pricing_summary)
-        df["cents"] = (df.o_totalprice * 100).round().astype("int64")
-        return df.groupby("c_mktsegment", as_index=False).agg(
-            cents=("cents", "sum"), n_orders=("cents", "count"))
+        # oracle's summation order — see pricing_summary); arrow
+        # half_towards_infinity == DuckDB round for positives
+        cents = pc.cast(
+            pc.round(pc.multiply(t.column("o_totalprice"),
+                                 pa.scalar(100.0)),
+                     round_mode="half_towards_infinity"), pa.int64())
+        g = pa.table({"c_mktsegment": t.column("c_mktsegment"),
+                      "cents": cents}).group_by(
+            "c_mktsegment").aggregate(
+            [("cents", "sum"), ("cents", "count")])
+        return g.rename_columns(["c_mktsegment", "cents", "n_orders"])
 
-    partials = ds.map_batches(partial, batch_format="pandas",
+    partials = ds.map_batches(partial, batch_format="pyarrow",
                               batch_size=32768)
     agg = partials.groupby("c_mktsegment").aggregate(
         Sum("cents", alias_name="cents"),
         Sum("n_orders", alias_name="n_orders"))
     return agg.map_batches(
-        lambda df: df.assign(revenue=(df.cents / 100.0).round(2))
-        [["c_mktsegment", "revenue", "n_orders"]],
-        batch_format="pandas")
+        lambda t: _cents_to_dollars(t, "cents", "revenue").select(
+            ["c_mktsegment", "revenue", "n_orders"]),
+        batch_format="pyarrow")
 
 
 def q_region_revenue(sf_dir: str):
@@ -793,9 +827,9 @@ def q_region_revenue(sf_dir: str):
     agg = j.map_batches(partial, batch_format="pyarrow").groupby(
         "n_name").aggregate(Sum("rev_cents", alias_name="rev_cents"))
     return agg.map_batches(
-        lambda df: df.assign(revenue=(df.rev_cents / 100.0).round(2))
-        [["n_name", "revenue"]],
-        batch_format="pandas")
+        lambda t: _cents_to_dollars(t, "rev_cents", "revenue")
+        .select(["n_name", "revenue"]),
+        batch_format="pyarrow")
 
 
 def q_promo_revenue(sf_dir: str):
@@ -856,14 +890,18 @@ def q_promo_revenue(sf_dir: str):
             Sum("promo_cents", alias_name="promo_cents"),
             Sum("n_items", alias_name="n_items"))
 
-    def finalize(df):
-        df = df.assign(
-            revenue=df.rev_cents.astype("float64") / 100.0,
-            promo_ppm=(df.promo_cents * 1_000_000 // df.rev_cents)
-            .astype("int64"))
-        return df[["p_brand", "n_items", "revenue", "promo_ppm"]]
+    def finalize(t: pa.Table) -> pa.Table:
+        rev = pc.divide(pc.cast(t.column("rev_cents"), pa.float64()),
+                        pa.scalar(100.0))
+        # integer division on positives: arrow trunc == pandas floor
+        ppm = pc.divide(pc.multiply(t.column("promo_cents"),
+                                    pa.scalar(1_000_000, pa.int64())),
+                        t.column("rev_cents"))
+        return pa.table({"p_brand": t.column("p_brand"),
+                         "n_items": t.column("n_items"),
+                         "revenue": rev, "promo_ppm": ppm})
 
-    return agg.map_batches(finalize, batch_format="pandas")
+    return agg.map_batches(finalize, batch_format="pyarrow")
 
 
 def q_part_profit(sf_dir: str):
@@ -944,11 +982,13 @@ def q_part_profit(sf_dir: str):
             Sum("rev_cents", alias_name="rev_cents"),
             Sum("n_items", alias_name="n_items"))
 
-    def finalize(df):
-        df = df.assign(revenue=df.rev_cents.astype("float64") / 100.0)
-        return df[["n_name", "o_year", "n_items", "revenue"]]
+    def finalize(t: pa.Table) -> pa.Table:
+        rev = pc.divide(pc.cast(t.column("rev_cents"), pa.float64()),
+                        pa.scalar(100.0))
+        return t.append_column("revenue", rev).select(
+            ["n_name", "o_year", "n_items", "revenue"])
 
-    return agg.map_batches(finalize, batch_format="pandas")
+    return agg.map_batches(finalize, batch_format="pyarrow")
 
 
 def q_unshipped_parts(sf_dir: str):
@@ -1095,9 +1135,9 @@ def q_top_users(sf_dir: str):
     agg = ds.groupby("user_id").aggregate(
         Count(alias_name="n_clicks"), Sum("micros", alias_name="micros"))
     agg = agg.map_batches(
-        lambda df: df.assign(sum_value=(df.micros / 1e6).round(6))
-        [["user_id", "n_clicks", "sum_value"]],
-        batch_format="pandas")
+        lambda t: _micros_finalize(t, ["user_id", "n_clicks",
+                                       "sum_value"]),
+        batch_format="pyarrow")
     return agg.sort(["n_clicks", "user_id"],
                     descending=[True, False]).limit(10)
 
@@ -1119,9 +1159,9 @@ def q_hourly_windows(sf_dir: str):
     agg = ds.groupby(["event_type", "hour"]).aggregate(
         Count(alias_name="n"), Sum("micros", alias_name="micros"))
     return agg.map_batches(
-        lambda df: df.assign(sum_value=(df.micros / 1e6).round(6))
-        [["event_type", "hour", "n", "sum_value"]],
-        batch_format="pandas")
+        lambda t: _micros_finalize(t, ["event_type", "hour", "n",
+                                       "sum_value"]),
+        batch_format="pyarrow")
 
 
 def q_props_stats(sf_dir: str):
@@ -1190,9 +1230,9 @@ def q_value_bands(sf_dir: str):
     agg = j.groupby(["event_type", "band"]).aggregate(
         Count(alias_name="n"), Sum("micros", alias_name="micros"))
     return agg.map_batches(
-        lambda df: df.assign(sum_value=(df.micros / 1e6).round(6))
-        [["event_type", "band", "n", "sum_value"]],
-        batch_format="pandas")
+        lambda t: _micros_finalize(t, ["event_type", "band", "n",
+                                       "sum_value"]),
+        batch_format="pyarrow")
 
 
 def q_click_attribution(sf_dir: str):
@@ -1202,8 +1242,6 @@ def q_click_attribution(sf_dir: str):
     pandas merge_asof per group; ties on view ts pick the max view id
     (mirrors the oracle's per-(user, ts) max aggregation before its
     native ASOF JOIN)."""
-    import pandas as pd
-
     from nipper_ray.ops.join import asof_join
 
     rd = _rd()
@@ -1229,16 +1267,18 @@ def q_click_attribution(sf_dir: str):
                   right_cols=["view_id", "view_ts"],
                   right_tiebreak=["view_id"])
 
-    def finish(df: "pd.DataFrame") -> "pd.DataFrame":
-        gap = (df["ts"] - df["view_ts"]).astype("timedelta64[us]")
-        return pd.DataFrame({
-            "user_id": df["user_id"],
-            "click_id": df["click_id"],
-            "view_id": df["view_id"],
-            "gap_us": gap.astype("int64"),
+    def finish(t: pa.Table) -> pa.Table:
+        gap = pc.cast(pc.cast(pc.subtract(t.column("ts"),
+                                          t.column("view_ts")),
+                              pa.duration("us")), pa.int64())
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "click_id": t.column("click_id"),
+            "view_id": t.column("view_id"),
+            "gap_us": gap,
         })
 
-    return j.map_batches(finish, batch_format="pandas")
+    return j.map_batches(finish, batch_format="pyarrow")
 
 
 def q_sliding_windows(sf_dir: str):
@@ -1267,9 +1307,9 @@ def q_sliding_windows(sf_dir: str):
     agg = ds.groupby(["event_type", "w_start"]).aggregate(
         Count(alias_name="n"), Sum("micros", alias_name="micros"))
     return agg.map_batches(
-        lambda df: df.assign(sum_value=(df.micros / 1e6).round(6))
-        [["event_type", "w_start", "n", "sum_value"]],
-        batch_format="pandas")
+        lambda t: _micros_finalize(t, ["event_type", "w_start", "n",
+                                       "sum_value"]),
+        batch_format="pyarrow")
 
 
 def q_distinct_types(sf_dir: str):
