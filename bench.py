@@ -164,8 +164,9 @@ def bench_crawl(waves: int = 2) -> tuple:
 
 def bench_ops(queries: dict, rates: dict) -> None:
     """LLM-data ops over the sf tables: distributed minhash near-dup,
-    exact block-grid embedding near-dup, and the TPC-H-Q5-shaped
-    hash-partitioned join (the __ray_entry__ pipelines, timed)."""
+    exact ppjoin n-gram Jaccard, exact block-grid embedding near-dup,
+    and the TPC-H-Q5-shaped hash-partitioned join (the __ray_entry__
+    pipelines, timed)."""
     import __ray_entry__ as entry
 
     t0 = time.perf_counter()
@@ -173,6 +174,12 @@ def bench_ops(queries: dict, rates: dict) -> None:
     dt = time.perf_counter() - t0
     queries["minhash_neardup"] = round(dt, 3)
     rates["minhash_pairs_found"] = n
+
+    t0 = time.perf_counter()
+    n = entry.q_ngram_jaccard(SF_DIR).count()
+    dt = time.perf_counter() - t0
+    queries["ngram_jaccard"] = round(dt, 3)
+    rates["ngram_pairs_found"] = n
 
     t0 = time.perf_counter()
     n = entry.q_embedding_neardup(SF_DIR).count()
