@@ -95,6 +95,16 @@ class Document:
         (reference: Document.errors, document.rs:24,79-81)."""
         return self.tree.errors
 
+    @property
+    def quirks_mode(self) -> str:
+        """'no-quirks' | 'limited-quirks' | 'quirks' — the document's
+        quirks mode per the WHATWG initial-mode doctype rules
+        (reference: Document.quirks_mode set via the set_quirks_mode
+        TreeSink callback, document.rs:26-27,100-103).  Field parity
+        only: no matching behavior depends on it (the reference
+        matcher hardcodes NoQuirks, matcher.rs:26-38)."""
+        return self.tree.quirks_mode
+
     # -- queries (traversal.rs:15-58) ----------------------------------
     def select(self, sel: str) -> "Selection":
         compiled = compile_selector(sel)  # raises SelectorError

@@ -113,13 +113,18 @@ def _node_from_state(ints, name, ns, attrs, data, data2, aip):
 class Tree:
     """Arena tree; root is always id 0 (a DOCUMENT node)."""
 
-    __slots__ = ("nodes", "errors")
+    __slots__ = ("nodes", "errors", "quirks_mode")
 
     def __init__(self):
         self.nodes = []
         # recoverable parse errors accumulated by the tree builder
         # (reference: Document.errors, document.rs:24,79-81)
         self.errors = []
+        # 'no-quirks' | 'limited-quirks' | 'quirks'; default no-quirks
+        # matches the reference's manipulation trees + fragment parses
+        # (manipulation.rs:25); document parses overwrite it per the
+        # WHATWG initial-mode rules (treebuilder.doctype_quirks)
+        self.quirks_mode = "no-quirks"
         self.new_node(DOCUMENT)
 
     # -- construction -----------------------------------------------------

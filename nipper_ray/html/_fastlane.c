@@ -402,6 +402,14 @@ typedef struct {
     PyObject *errors;          /* accumulated parse errors (lazy list;
                                 * mirrors treebuilder.parse_error) */
 
+    /* quirks decision inputs from the first INITIAL-mode doctype (the
+     * only one that can set the mode); the DECISION itself runs in
+     * Python (treebuilder.doctype_quirks) on these, so the two lanes
+     * share one implementation */
+    PyObject *quirks_name;     /* lowered name, or NULL = no doctype */
+    PyObject *quirks_rest;     /* raw post-name declaration text */
+    int quirks_eof;            /* unterminated (no '>') */
+
     int aborted;
 } P;
 
@@ -3403,7 +3411,7 @@ static int handle_comment(P *p, PyObject *s)
     return 0;
 }
 
-static int handle_doctype(P *p, PyObject *name)
+static int handle_doctype(P *p, PyObject *name, PyObject *rest, int eof)
 {
     CNode *d;
     PyObject *d2;
@@ -3422,6 +3430,12 @@ static int handle_doctype(P *p, PyObject *name)
         return -1;
     d->data2 = d2;
     link_append(p, 0, d->id);
+    /* record the quirks inputs (only the INITIAL doctype reaches here) */
+    Py_INCREF(name);
+    p->quirks_name = name;
+    Py_XINCREF(rest);
+    p->quirks_rest = rest;
+    p->quirks_eof = eof;
     p->mode = M_BEFORE_HTML;
     return 0;
 }
@@ -4311,9 +4325,9 @@ static int run_scanner(P *p)
                 && sc_lc(s[i + 3]) == 'c' && sc_lc(s[i + 4]) == 't'
                 && sc_lc(s[i + 5]) == 'y' && sc_lc(s[i + 6]) == 'p'
                 && sc_lc(s[i + 7]) == 'e') {
-                Py_ssize_t k = i + 8, ns, ne2, nlen;
+                Py_ssize_t k = i + 8, ns, ne2, rend, nlen;
                 const uint8_t *e;
-                PyObject *nm;
+                PyObject *nm, *rest;
                 while (k < n && sc_is_ws(s[k]))
                     k++;
                 ns = k;
@@ -4327,15 +4341,23 @@ static int run_scanner(P *p)
                                           "surrogatepass");
                 if (nm == NULL)
                     return -1;
-                {
-                    int hr = handle_doctype(p, nm);
+                e = memchr(s + ne2, '>', n - ne2);
+                rend = e ? e - s : n;
+                rest = PyUnicode_DecodeUTF8((const char *)s + ne2,
+                                            rend - ne2, "surrogatepass");
+                if (rest == NULL) {
                     Py_DECREF(nm);
+                    return -1;
+                }
+                {
+                    int hr = handle_doctype(p, nm, rest, e == NULL);
+                    Py_DECREF(nm);
+                    Py_DECREF(rest);
                     CHECK(hr);
                 }
                 if (p->aborted)
                     return -1;
-                e = memchr(s + ne2, '>', n - ne2);
-                pos = e ? (e - s) + 1 : n;
+                pos = e ? rend + 1 : n;
                 continue;
             }
             /* <![CDATA[ in foreign content: character tokens to "]]>"
@@ -5325,6 +5347,8 @@ static void p_free(P *p, int decref_nodes)
     Py_XDECREF(p->pend);
     Py_XDECREF(p->tt);
     Py_XDECREF(p->errors);
+    Py_XDECREF(p->quirks_name);
+    Py_XDECREF(p->quirks_rest);
 }
 
 static PyObject *fl_parse(PyObject *self, PyObject *arg)
@@ -5384,7 +5408,26 @@ static PyObject *fl_parse(PyObject *self, PyObject *arg)
             p_free(&p, 0);
             return NULL;
         }
-        out = PyTuple_Pack(2, list, errors);
+        {
+            /* quirks inputs for the shared Python decision, or None
+             * when no INITIAL-mode doctype was seen (-> quirks) */
+            PyObject *q;
+            if (p.quirks_name != NULL)
+                q = PyTuple_Pack(3, p.quirks_name, p.quirks_rest,
+                                 p.quirks_eof ? Py_True : Py_False);
+            else {
+                q = Py_None;
+                Py_INCREF(q);
+            }
+            if (q == NULL) {
+                Py_DECREF(list);
+                Py_DECREF(errors);
+                p_free(&p, 0);
+                return NULL;
+            }
+            out = PyTuple_Pack(3, list, errors, q);
+            Py_DECREF(q);
+        }
         Py_DECREF(list);
         Py_DECREF(errors);
         p_free(&p, 0);

@@ -156,9 +156,15 @@ class CTokenizer:
                 sink.process_comment(self._dec(b[rec[k + 1]:rec[k + 2]]))
                 k += 3
             elif t == 4:         # DOCTYPE
+                # the scanner record carries the name span; recover the
+                # post-name declaration span with the scanner's own
+                # first-'>' rule (_scan.c scan_doctype resumes at e+1)
+                ne = rec[k + 2]
+                gt = b.find(b">", ne)
                 sink.process_doctype(
-                    _lower(self._dec(b[rec[k + 1]:rec[k + 2]])),
-                    None, None)
+                    _lower(self._dec(b[rec[k + 1]:ne])),
+                    self._dec(b[ne:gt] if gt >= 0 else b[ne:]),
+                    gt < 0)
                 k += 3
             elif t == 5:         # BOGUS comment
                 if hasattr(sink, "parse_error"):

@@ -104,5 +104,11 @@ def parse_document_fast(html: str):
         from ..dom import Tree as _T
         _Tree = _T
     t = _Tree.__new__(_Tree)
-    t.nodes, t.errors = res
+    t.nodes, t.errors, quirks_src = res
+    if quirks_src is None:
+        t.quirks_mode = "quirks"  # no INITIAL-mode doctype
+    else:
+        from .treebuilder import doctype_quirks
+
+        t.quirks_mode = doctype_quirks(*quirks_src)
     return t

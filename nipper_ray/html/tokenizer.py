@@ -194,11 +194,12 @@ class Tokenizer:
         i = m.end()
         end = s.find(">", i)
         if end < 0:
-            self.sink.process_doctype(name, None, None)
+            # unterminated doctype: eof-in-doctype -> force-quirks
+            self.sink.process_doctype(name, s[i:], True)
             return n
-        # public/system ids parsed loosely (quirks mode is fixed NoQuirks
-        # in the reference: /root/reference/src/manipulation.rs:24)
-        self.sink.process_doctype(name, None, None)
+        # the raw post-name declaration text feeds the quirks decision
+        # (treebuilder.doctype_quirks); ids are not stored on the node
+        self.sink.process_doctype(name, s[i:end], False)
         return end + 1
 
     def _cdata(self, start: int) -> int:

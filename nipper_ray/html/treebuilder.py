@@ -14,8 +14,14 @@ output the reference pins via its TreeSink impl and golden corpus
 - svg/mathml foreign content with tag/attribute case + namespace
   adjustment (public WHATWG tables).
 
-scripting_enabled is fixed True and quirks mode NoQuirks, matching the
-reference (/root/reference/src/manipulation.rs:13-33).
+scripting_enabled is fixed True, matching the reference
+(/root/reference/src/manipulation.rs:13-33).  The document's quirks
+mode is tracked per the WHATWG "initial" insertion-mode rules and
+exposed as ``Tree.quirks_mode`` / ``Document.quirks_mode`` — field
+parity with the reference's ``set_quirks_mode`` TreeSink callback
+(/root/reference/src/document.rs:26-27,100-103); fragment parses stay
+fixed no-quirks (manipulation.rs:25).  No matching behavior depends on
+it (the reference matcher hardcodes NoQuirks, src/matcher.rs:26-38).
 """
 
 from __future__ import annotations
@@ -146,6 +152,155 @@ FOREIGN_BREAKOUT = frozenset(
 
 TABLEISH = frozenset("table tbody tfoot thead tr".split())
 
+# -- quirks-mode classification (WHATWG "initial" insertion mode) -------
+# Public-id prefix / exact tables from the spec (the same data html5ever
+# ships in markup5ever data.rs — public knowledge, spec-normative).
+_QUIRKY_PUBLIC_EXACT = frozenset(s.lower() for s in (
+    "-//W3O//DTD W3 HTML Strict 3.0//EN//",
+    "-/W3C/DTD HTML 4.0 Transitional/EN",
+    "HTML",
+))
+_QUIRKY_SYSTEM_EXACT = frozenset((
+    "http://www.ibm.com/data/dtd/v11/ibmxhtml1-transitional.dtd",
+))
+_QUIRKY_PUBLIC_PREFIXES = tuple(s.lower() for s in (
+    "+//Silmaril//dtd html Pro v0r11 19970101//",
+    "-//AS//DTD HTML 3.0 asWedit + extensions//",
+    "-//AdvaSoft Ltd//DTD HTML 3.0 asWedit + extensions//",
+    "-//IETF//DTD HTML 2.0 Level 1//",
+    "-//IETF//DTD HTML 2.0 Level 2//",
+    "-//IETF//DTD HTML 2.0 Strict Level 1//",
+    "-//IETF//DTD HTML 2.0 Strict Level 2//",
+    "-//IETF//DTD HTML 2.0 Strict//",
+    "-//IETF//DTD HTML 2.0//",
+    "-//IETF//DTD HTML 2.1E//",
+    "-//IETF//DTD HTML 3.0//",
+    "-//IETF//DTD HTML 3.2 Final//",
+    "-//IETF//DTD HTML 3.2//",
+    "-//IETF//DTD HTML 3//",
+    "-//IETF//DTD HTML Level 0//",
+    "-//IETF//DTD HTML Level 1//",
+    "-//IETF//DTD HTML Level 2//",
+    "-//IETF//DTD HTML Level 3//",
+    "-//IETF//DTD HTML Strict Level 0//",
+    "-//IETF//DTD HTML Strict Level 1//",
+    "-//IETF//DTD HTML Strict Level 2//",
+    "-//IETF//DTD HTML Strict Level 3//",
+    "-//IETF//DTD HTML Strict//",
+    "-//IETF//DTD HTML//",
+    "-//Metrius//DTD Metrius Presentational//",
+    "-//Microsoft//DTD Internet Explorer 2.0 HTML Strict//",
+    "-//Microsoft//DTD Internet Explorer 2.0 HTML//",
+    "-//Microsoft//DTD Internet Explorer 2.0 Tables//",
+    "-//Microsoft//DTD Internet Explorer 3.0 HTML Strict//",
+    "-//Microsoft//DTD Internet Explorer 3.0 HTML//",
+    "-//Microsoft//DTD Internet Explorer 3.0 Tables//",
+    "-//Netscape Comm. Corp.//DTD HTML//",
+    "-//Netscape Comm. Corp.//DTD Strict HTML//",
+    "-//O'Reilly and Associates//DTD HTML 2.0//",
+    "-//O'Reilly and Associates//DTD HTML Extended 1.0//",
+    "-//O'Reilly and Associates//DTD HTML Extended Relaxed 1.0//",
+    "-//SQ//DTD HTML 2.0 HoTMetaL + extensions//",
+    "-//SoftQuad Software//DTD HoTMetaL PRO 6.0::19990601::"
+    "extensions to HTML 4.0//",
+    "-//SoftQuad//DTD HoTMetaL PRO 4.0::19971010::"
+    "extensions to HTML 4.0//",
+    "-//Spyglass//DTD HTML 2.0 Extended//",
+    "-//Sun Microsystems Corp.//DTD HotJava HTML//",
+    "-//Sun Microsystems Corp.//DTD HotJava Strict HTML//",
+    "-//W3C//DTD HTML 3 1995-03-24//",
+    "-//W3C//DTD HTML 3.2 Draft//",
+    "-//W3C//DTD HTML 3.2 Final//",
+    "-//W3C//DTD HTML 3.2//",
+    "-//W3C//DTD HTML 3.2S Draft//",
+    "-//W3C//DTD HTML 4.0 Frameset//",
+    "-//W3C//DTD HTML 4.0 Transitional//",
+    "-//W3C//DTD HTML Experimental 19960712//",
+    "-//W3C//DTD HTML Experimental 970421//",
+    "-//W3C//DTD W3 HTML//",
+    "-//W3O//DTD W3 HTML 3.0//",
+    "-//WebTechs//DTD Mozilla HTML 2.0//",
+    "-//WebTechs//DTD Mozilla HTML//",
+))
+# quirks when the system id is MISSING, limited-quirks when present
+_HTML401_PREFIXES = ("-//w3c//dtd html 4.01 frameset//",
+                     "-//w3c//dtd html 4.01 transitional//")
+_LIMITED_PREFIXES = ("-//w3c//dtd xhtml 1.0 frameset//",
+                     "-//w3c//dtd xhtml 1.0 transitional//")
+
+_DT_WS = "\t\n\f\r "
+
+
+def _parse_doctype_ids(rest: str):
+    """(public_id, system_id, force_quirks) from the raw declaration
+    text between the doctype name and the terminating '>'.
+
+    All three tokenizer lanes end a doctype at the FIRST '>' (see
+    _scan.c scan_doctype) — which coincides with the spec: a '>' inside
+    a quoted id is an abrupt-doctype-*-identifier error that closes the
+    doctype with force-quirks on, so id content past it never matters."""
+    n = len(rest)
+    i = 0
+    while i < n and rest[i] in _DT_WS:
+        i += 1
+    if i == n:
+        return None, None, False
+
+    def quoted(j):
+        while j < n and rest[j] in _DT_WS:
+            j += 1
+        if j >= n or rest[j] not in "\"'":
+            return None, j  # missing-quote -> bogus, force-quirks
+        q = rest[j]
+        k = rest.find(q, j + 1)
+        if k < 0:
+            return None, j  # abrupt (hit the '>' / EOF) -> force-quirks
+        return rest[j + 1:k], k + 1
+
+    kw = rest[i:i + 6].lower()
+    if kw == "public":
+        public, i = quoted(i + 6)
+        if public is None:
+            return None, None, True
+        while i < n and rest[i] in _DT_WS:
+            i += 1
+        if i == n:
+            return public, None, False
+        system, i = quoted(i)
+        if system is None:
+            return public, None, True
+        return public, system, False  # trailing junk: error, not quirks
+    if kw == "system":
+        system, i = quoted(i + 6)
+        if system is None:
+            return None, None, True
+        return None, system, False  # trailing junk: error, not quirks
+    return None, None, True  # bogus doctype
+
+
+def doctype_quirks(name: str, rest: str, eof: bool) -> str:
+    """The WHATWG initial-insertion-mode quirks decision for a doctype
+    token — 'quirks' / 'limited-quirks' / 'no-quirks'.  Shared by the
+    Python machine and the C fast lane (which hands back the raw
+    post-name span) so the lanes cannot diverge."""
+    public, system, force = _parse_doctype_ids(rest)
+    if eof or force or name != "html":
+        return "quirks"
+    p = (public or "").lower()
+    if public is not None:
+        if p in _QUIRKY_PUBLIC_EXACT:
+            return "quirks"
+        if p.startswith(_QUIRKY_PUBLIC_PREFIXES):
+            return "quirks"
+        if p.startswith(_HTML401_PREFIXES):
+            return "quirks" if system is None else "limited-quirks"
+        if p.startswith(_LIMITED_PREFIXES):
+            return "limited-quirks"
+    if system is not None \
+            and system.lower() in _QUIRKY_SYSTEM_EXACT:
+        return "quirks"
+    return "no-quirks"
+
 
 class _FmtEntry:
     """Active-formatting-elements entry (element id + token snapshot)."""
@@ -187,6 +342,13 @@ class TreeBuilder:
         from .ctokenizer import make_tokenizer
 
         self.tok = make_tokenizer(self, html)
+        if self.fragment_ctx is None:
+            # document parse: quirks unless (and until) a doctype in
+            # INITIAL mode decides otherwise — every other way of
+            # leaving INITIAL is the spec's anything-else -> quirks.
+            # Fragment parses keep the Tree default no-quirks
+            # (reference: manipulation.rs:25).
+            self.tree.quirks_mode = "quirks"
         if self.fragment_ctx is not None:
             ctx = self.fragment_ctx
             root = self.tree.new_element("html")
@@ -663,15 +825,21 @@ class TreeBuilder:
     # ------------------------------------------------------------------
     # token entry points (tokenizer sink interface)
     # ------------------------------------------------------------------
-    def process_doctype(self, name, public, system):
+    def process_doctype(self, name, rest="", eof=False):
+        """*rest* is the raw declaration text between the name and the
+        terminating '>' (or input end, with ``eof=True``) — consumed
+        only for the quirks decision; the node keeps the name-only
+        shape the serializer emits (ids stay untracked, like the node
+        the reference golden corpus pins)."""
         self.ignore_lf = False
         if self.done:
             return
         if self.mode == INITIAL:
             d = self.tree.new_node(DOCTYPE)
             d.data = name
-            d.data2 = (public, system)
+            d.data2 = (None, None)
             self.tree.append_child(0, d.id)
+            self.tree.quirks_mode = doctype_quirks(name, rest, eof)
             self.mode = BEFORE_HTML
         else:  # parse error, ignore the token
             self.parse_error("unexpected-doctype")

@@ -41,6 +41,7 @@ def _check(html, fragment=None):
     b = _parse(html, use_c=True, fragment=fragment)
     assert a.serialize(0) == b.serialize(0), html[:200]
     assert a.errors == b.errors, html[:200]
+    assert a.quirks_mode == b.quirks_mode, html[:200]
 
 
 EDGE_CASES = [

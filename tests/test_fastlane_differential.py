@@ -40,6 +40,8 @@ def _assert_same(fast, py, label):
                     label, y.id, f, getattr(x, f), getattr(y, f))
     assert fast.errors == py.errors, \
         "%s: errors %r != %r" % (label, fast.errors, py.errors)
+    assert fast.quirks_mode == py.quirks_mode, \
+        "%s: quirks %r != %r" % (label, fast.quirks_mode, py.quirks_mode)
 
 
 def _check(html, label=None):
