@@ -161,12 +161,16 @@ def add_group_pkey(batch: pa.Table, n_parts: int,
     return batch.append_column("pkey", pa.array(pkey))
 
 
-def top_b_per_partition(budget: int, by, wave_period_s: float = 300.0):
+def top_b_per_partition(budget: int, by, wave_period_s: float = 300.0,
+                        partition_cap=None):
     """map_groups fn over one pkey partition: the exact per-``by``
     top-B of every group routed here, vectorized — one stable sort +
     groupby.cumcount against the per-host Crawl-delay-capped budget
     (identical semantics to ``top_b_per_group``, O(n_parts) dispatches
-    total)."""
+    total).  ``partition_cap`` additionally truncates the partition's
+    output to its (priority desc, url asc) head — sound whenever the
+    global selection takes at most that many rows, since one partition
+    can contribute no more than the global cap."""
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["priority", "url"],
@@ -181,7 +185,10 @@ def top_b_per_partition(budget: int, by, wave_period_s: float = 300.0):
                 np.maximum(1, (wave_period_s // d[capped])
                            .astype(np.int64)))
         keep = g.groupby(list(by), sort=False).cumcount().to_numpy() < eff
-        return g[keep]
+        out = g[keep]
+        if partition_cap is not None:
+            out = out.head(partition_cap)  # still (prio desc, url) sorted
+        return out
 
     return fn
 
@@ -191,13 +198,24 @@ def select_wave(frontier_ds, per_host_budget: int, wave_budget: int,
                 wave_period_s: float = 300.0):
     """Politeness + priority selection over a deduped frontier Dataset.
 
-    Groupby shuffle(s) + one global sort/limit; all ordering keys are
-    deterministic (no wall clock). With ``salted`` (the default, for
-    hot-host skew) the per-host top-B is computed in two phases —
+    Groupby shuffle(s) + a tournament global top-K; all ordering keys
+    are deterministic (no wall clock). With ``salted`` (the default,
+    for hot-host skew) the per-host top-B is computed in two phases —
     per (host, salt) then per host — which is exactly equal to the
     single-phase top-B (top-B of a union of per-salt top-Bs) but fans a
     hot host's work over ``num_salts`` tasks. ``salted=False`` skips the
-    extra shuffle for small frontiers; results are identical."""
+    extra shuffle for small frontiers; results are identical.
+
+    The global wave cap is applied to PRE-CAPPED candidates: each
+    per-host-top-B partition truncates itself to its own (priority
+    desc, url asc) head-``wave_budget`` first (a partition cannot
+    contribute more to the global head), so the final sort+limit
+    ranges over at most n_parts x wave_budget rows — O(wave output) —
+    instead of the whole frontier.  Equal output (priority/url is a
+    total order — urls are deduped), and the sorted result stays
+    multi-block, keeping the downstream fetch/extract stages parallel
+    (a single-group reduce was measured to collapse them to one
+    task)."""
     n_parts = 64
     if salted:
         ds = frontier_ds.map_batches(
@@ -215,7 +233,8 @@ def select_wave(frontier_ds, per_host_budget: int, wave_budget: int,
         lambda t: add_group_pkey(t, n_parts, with_salt=False),
         batch_format="pyarrow")
     ds = ds.groupby("pkey").map_groups(
-        top_b_per_partition(per_host_budget, ("host",), wave_period_s),
+        top_b_per_partition(per_host_budget, ("host",), wave_period_s,
+                            partition_cap=wave_budget),
         batch_format="pandas")
     ds = ds.drop_columns(["pkey"])
     ds = ds.sort(["priority", "url"], descending=[True, False])

@@ -285,8 +285,17 @@ class CrawlJob:
         frontier_in = self._frontier_dir(k)
         n_in = _count_parquet_dir(frontier_in)
         # columns= prunes the read AND drops the hive partition column
-        # ray.data infers from the wave=k directory name
-        ds = rd.read_parquet(frontier_in, columns=list(FRONTIER_SCHEMA.names))
+        # ray.data infers from the wave=k directory name.
+        # Block count sized to the frontier: the default 64-way split
+        # turned a few-thousand-row frontier into 64 tiny tasks PER
+        # OPERATOR (measured: ~17 ms of work per task under seconds of
+        # scheduling) — ~2k rows per block keeps every stage's task
+        # count proportional to real work, capped so huge frontiers
+        # still fan out.
+        nblocks = min(max(1, n_in // 2048), 256)
+        ds = rd.read_parquet(frontier_in,
+                             columns=list(FRONTIER_SCHEMA.names),
+                             override_num_blocks=nblocks)
         keep = ("url", "host", "depth", "priority", "warc_ts", "fetch_ok")
         if self.use_actors:
             # actor-pool shape: the right fit for long-running cluster
@@ -337,12 +346,48 @@ class CrawlJob:
             wave = wave.map_batches(
                 ExtractStage(rules=CRAWL_RULES, keep_cols=keep),
                 batch_format="pyarrow", batch_size=128)
+        # one execution, two consumers: the materialized wave (bounded
+        # by wave_budget rows, raw html already dropped by ExtractStage,
+        # distributed + spillable) feeds BOTH the durable pages write
+        # and the outlink pass — re-reading the just-written Parquet
+        # cost a full second executor spin-up + a disk round trip per
+        # wave.  Resume semantics are unchanged: _SUCCESS still goes
+        # last, so a crash anywhere in the wave re-runs it whole.
+        wave = wave.materialize()
         n_pages = _write_ds(wave, self._pages_dir(k))
         t_pipeline = time.perf_counter()
 
+        # seen-set shards are final once the fetch pipeline is done
+        # (only DedupStage mutates them): snapshot them — RPCs AND the
+        # tens-of-MB file writes — on a background thread overlapping
+        # the outlink pass
+        ck_dir = self._ckpt_dir(k)
+        os.makedirs(ck_dir, exist_ok=True)
+        snap_finish = self.seen.snapshot_background(
+            ckpt.shard_paths(ck_dir, self.num_shards))
+
+        if n_pages == 0:
+            # exhausted wave: an all-empty Dataset may have lost its
+            # schema (groupby on empties), so emit the typed empty
+            # frontier directly instead of running the outlink pass
+            d = self._frontier_dir(k + 1)
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(FRONTIER_SCHEMA.empty_table(),
+                           os.path.join(d, "empty.parquet"))
+            n_frontier = 0
+            t_outlinks = time.perf_counter()
+            metrics = self._wave_metrics(
+                k, n_in, n_pages, n_frontier, frontier_in,
+                t_wave0, t_pipeline, t_outlinks)
+            ckpt.write_checkpoint(ck_dir, self.seen, self.num_shards,
+                                  metrics, snapshot_finish=snap_finish)
+            metrics["phase_sec"]["checkpoint"] = round(
+                time.perf_counter() - t_outlinks, 2)
+            ckpt.amend_manifest(ck_dir, metrics)
+            return metrics
+
         # outlinks -> next wave's frontier partitions
-        pages = rd.read_parquet(self._pages_dir(k),
-                                columns=["url", "links", "depth"])
+        pages = wave.select_columns(["url", "links", "depth"])
 
         def explode(t: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
@@ -365,7 +410,22 @@ class CrawlJob:
         n_frontier = _write_ds(out, self._frontier_dir(k + 1))
         t_outlinks = time.perf_counter()
 
-        metrics = {
+        metrics = self._wave_metrics(k, n_in, n_pages, n_frontier,
+                                     frontier_in, t_wave0, t_pipeline,
+                                     t_outlinks)
+        ckpt.write_checkpoint(ck_dir, self.seen,
+                              self.num_shards, metrics,
+                              snapshot_finish=snap_finish)
+        metrics["phase_sec"]["checkpoint"] = round(
+            time.perf_counter() - t_outlinks, 2)
+        # keep the persisted manifest consistent with the returned/bench
+        # metrics (the checkpoint phase can only be timed after the fact)
+        ckpt.amend_manifest(ck_dir, metrics)
+        return metrics
+
+    def _wave_metrics(self, k, n_in, n_pages, n_frontier, frontier_in,
+                      t_wave0, t_pipeline, t_outlinks) -> dict:
+        return {
             "wave": k,
             "frontier_in": n_in,
             "pages_fetched": n_pages,
@@ -384,14 +444,6 @@ class CrawlJob:
                 "outlinks": round(t_outlinks - t_pipeline, 2),
             },
         }
-        ckpt.write_checkpoint(self._ckpt_dir(k), self.seen,
-                              self.num_shards, metrics)
-        metrics["phase_sec"]["checkpoint"] = round(
-            time.perf_counter() - t_outlinks, 2)
-        # keep the persisted manifest consistent with the returned/bench
-        # metrics (the checkpoint phase can only be timed after the fact)
-        ckpt.amend_manifest(self._ckpt_dir(k), metrics)
-        return metrics
 
     def shutdown(self):
         self.seen.shutdown()

@@ -25,11 +25,19 @@ def shard_paths(ck: str, num_shards: int):
             for i in range(num_shards)]
 
 
-def write_checkpoint(ck: str, seen, num_shards: int, metrics: dict) -> None:
+def write_checkpoint(ck: str, seen, num_shards: int, metrics: dict,
+                     snapshot_finish=None) -> None:
     """Snapshot the seen-set shards and the manifest; the _SUCCESS
-    marker goes last so partial checkpoints are never trusted."""
+    marker goes last so partial checkpoints are never trusted.
+    ``snapshot_finish`` joins an already-running background snapshot
+    (SeenSet.snapshot_background) whose RPCs + file writes overlapped
+    earlier driver work; it re-raises any writer failure, so a bad
+    snapshot can never gain the marker."""
     os.makedirs(ck, exist_ok=True)
-    seen.snapshot_to(shard_paths(ck, num_shards))
+    if snapshot_finish is not None:
+        snapshot_finish()
+    else:
+        seen.snapshot_to(shard_paths(ck, num_shards))
     with open(os.path.join(ck, "manifest.json"), "w") as f:
         json.dump(metrics, f, indent=1)
     with open(os.path.join(ck, "_SUCCESS"), "w") as f:
