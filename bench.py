@@ -126,13 +126,17 @@ def bench_frontier_dedup(n_urls: int) -> tuple:
     seen = SeenSet(num_shards=8, capacity_per_shard=1 << 21)
     try:
         t0 = time.perf_counter()
-        ds = rd.read_parquet(path)
+        # stateless pickled stage instances (the crawl scheduler's own
+        # shape) + blocks sized to the input: interleaved A/B vs the
+        # 4-actor pool with the default split read 1.53 s vs 2.68 s
+        # median (1.75x) and far lower variance — pool spawn and tiny
+        # tasks were both inside the timed region (BASELINE round 5)
+        ds = rd.read_parquet(
+            path, override_num_blocks=max(1, min(256, n_urls // 8192)))
         ds = ds.map_batches(CanonStage(), batch_format="pyarrow",
                             batch_size=8192)
-        ds = ds.map_batches(
-            DedupStage, batch_format="pyarrow", batch_size=8192,
-            fn_constructor_kwargs={"shard_handles": seen.shards},
-            concurrency=4)
+        ds = ds.map_batches(DedupStage(seen.shards),
+                            batch_format="pyarrow", batch_size=8192)
         kept = ds.count()
         dt = time.perf_counter() - t0
         return dt, kept
