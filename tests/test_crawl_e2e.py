@@ -191,3 +191,31 @@ def test_crawl_warc_archive_tee(ray_session):
     assert set(back["url"]) == fetched == {
         u for u in set(back["url"])}
     assert m[0]["pages_fetched"] == len(back)
+
+
+def test_exhausted_wave_short_circuit(ray_session):
+    """A wave that selects 0 pages (wave_budget=0) must still produce a
+    complete, resumable checkpoint and a TYPED empty next frontier —
+    and the following wave must run the full pipeline over that empty
+    frontier without schema loss (all-empty groupby outputs lose their
+    schema otherwise)."""
+    from nipper_ray.frontier.scheduler import FRONTIER_SCHEMA, run_crawl
+
+    out = "/tmp/crawl_empty"
+    shutil.rmtree(out, ignore_errors=True)
+    kw = dict(KW, wave_budget=0)
+    m = run_crawl(SF, out, _seeds(), waves=2, **kw)
+    assert [w["pages_fetched"] for w in m] == [0, 0]
+    assert [w["outlinks_discovered"] for w in m] == [0, 0]
+    for k in (0, 1):
+        assert os.path.exists(
+            os.path.join(out, "ckpt", "wave=%d" % k, "_SUCCESS"))
+        d = os.path.join(out, "frontier", "wave=%d" % (k + 1))
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert files
+        t = pq.read_table(os.path.join(d, files[0]))
+        assert t.schema.equals(FRONTIER_SCHEMA)
+        assert len(t) == 0
+    # resume across an exhausted checkpoint still works
+    m2 = run_crawl(SF, out, _seeds(), waves=3, resume=True, **kw)
+    assert len(m2) == 1 and m2[0]["wave"] == 2
