@@ -2002,7 +2002,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -2420,5 +2420,13 @@ def oracle_sql() -> dict[str, str]:
         # the corpus-determined codebook ship as VALUES tables and the
         # bucketing / probe / filter / top-k logic runs in SQL.
         "ann_lsh": _ann_lsh_oracle_sql(),
-        "ann_ivf": _ann_ivf_oracle_sql(),
     }
+    # the ivf oracle is the one entry that must READ the gate corpus
+    # (its codebook is a function of the embeddings table); a missing
+    # /root/testdata must degrade that single row to no_oracle, not
+    # break oracle retrieval for all 42 queries
+    try:
+        out["ann_ivf"] = _ann_ivf_oracle_sql()
+    except Exception:
+        pass
+    return out

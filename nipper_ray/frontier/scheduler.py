@@ -369,8 +369,14 @@ class CrawlJob:
         if n_pages == 0:
             # exhausted wave: an all-empty Dataset may have lost its
             # schema (groupby on empties), so emit the typed empty
-            # frontier directly instead of running the outlink pass
+            # frontier directly instead of running the outlink pass.
+            # Purge first like _write_ds: a stale non-empty frontier
+            # from a previous run must not survive beside it.
             d = self._frontier_dir(k + 1)
+            if os.path.isdir(d):
+                import shutil
+
+                shutil.rmtree(d)
             os.makedirs(d, exist_ok=True)
             pq.write_table(FRONTIER_SCHEMA.empty_table(),
                            os.path.join(d, "empty.parquet"))

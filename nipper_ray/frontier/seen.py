@@ -108,12 +108,19 @@ class SeenSet:
 
     @staticmethod
     def snapshot_collect(refs, paths):
+        import os
+        import threading
+
         blobs = ray.get(refs)
+        # writer-unique tmp names: an orphaned background writer from a
+        # failed wave attempt must never interleave with a retry's
+        # writer on the same tmp file — os.replace stays atomic, so
+        # whichever complete file is promoted last wins
+        suffix = ".tmp.%d.%d" % (os.getpid(), threading.get_ident())
         for path, blob in zip(paths, blobs):
-            tmp = path + ".tmp"
+            tmp = path + suffix
             with open(tmp, "wb") as f:
                 f.write(blob)
-            import os
             os.replace(tmp, path)
 
     def snapshot_to(self, paths):

@@ -286,19 +286,22 @@ def doctype_quirks(name: str, rest: str, eof: bool) -> str:
     public, system, force = _parse_doctype_ids(rest)
     if eof or force or name != "html":
         return "quirks"
+    # ALL quirks conditions are evaluated before ANY limited-quirks
+    # rule (spec order): a quirky SYSTEM id (the IBM dtd) wins even
+    # when the public id matches a limited-quirks prefix.
     p = (public or "").lower()
-    if public is not None:
-        if p in _QUIRKY_PUBLIC_EXACT:
-            return "quirks"
-        if p.startswith(_QUIRKY_PUBLIC_PREFIXES):
-            return "quirks"
-        if p.startswith(_HTML401_PREFIXES):
-            return "quirks" if system is None else "limited-quirks"
-        if p.startswith(_LIMITED_PREFIXES):
-            return "limited-quirks"
+    if public is not None and (
+            p in _QUIRKY_PUBLIC_EXACT
+            or p.startswith(_QUIRKY_PUBLIC_PREFIXES)
+            or (system is None and p.startswith(_HTML401_PREFIXES))):
+        return "quirks"
     if system is not None \
             and system.lower() in _QUIRKY_SYSTEM_EXACT:
         return "quirks"
+    if public is not None and (
+            p.startswith(_LIMITED_PREFIXES)
+            or (system is not None and p.startswith(_HTML401_PREFIXES))):
+        return "limited-quirks"
     return "no-quirks"
 
 

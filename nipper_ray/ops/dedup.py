@@ -291,13 +291,24 @@ def _signature_branch_point(sh, checkpoint_dir: str | None,
     distributed and spillable, but pinned in the object store for the
     run.  With ``checkpoint_dir``: write the table to sharded Parquet
     ONCE and read both branches from disk — the 100 TB shape (the
-    object store never holds the whole table, and a failed run can
-    reuse the finished checkpoint).  Equality of the two modes is
-    pinned by tests/test_ops.py."""
+    object store never holds the whole table, and a crashed attempt's
+    partial output is purged before the rewrite, so reruns are
+    idempotent).  Equality of the two modes is pinned by
+    tests/test_ops.py."""
     if checkpoint_dir is None:
         return sh.materialize()
+    import os
+    import shutil
+
     import ray.data as rd
 
+    # purge any partial/stale files first: write_parquet uses unique
+    # filenames and would APPEND beside a previous attempt's output,
+    # duplicating every signature row (same hazard as the crawl's
+    # _write_ds, same fix)
+    if os.path.isdir(checkpoint_dir):
+        shutil.rmtree(checkpoint_dir)
+    os.makedirs(checkpoint_dir, exist_ok=True)
     sh.write_parquet(checkpoint_dir)
     # columns= always: a hive-partitioned path would otherwise grow a
     # partition column (CLAUDE.md gotcha)

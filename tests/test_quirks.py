@@ -42,6 +42,15 @@ CASES = [
     ('<!DOCTYPE html PUBLIC '
      '"-//W3C//DTD HTML 4.01 Transitional//EN">', "quirks"),  # no system
     ("<p><!DOCTYPE html>", "quirks"),         # late doctype ignored
+    # spec precedence: a quirky SYSTEM id (the IBM dtd) is a QUIRKS
+    # condition evaluated before any limited-quirks rule, so it wins
+    # over limited-quirks public-id prefixes
+    ('<!DOCTYPE html PUBLIC "-//W3C//DTD XHTML 1.0 Transitional//EN" '
+     '"http://www.ibm.com/data/dtd/v11/ibmxhtml1-transitional.dtd">',
+     "quirks"),
+    ('<!DOCTYPE html PUBLIC "-//W3C//DTD HTML 4.01 Frameset//EN" '
+     '"http://www.ibm.com/data/dtd/v11/ibmxhtml1-transitional.dtd">',
+     "quirks"),
     # --- limited-quirks ---
     ('<!DOCTYPE html PUBLIC "-//W3C//DTD HTML 4.01 Transitional//EN" '
      '"http://www.w3.org/TR/html4/loose.dtd">', "limited-quirks"),
