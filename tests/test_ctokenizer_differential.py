@@ -76,6 +76,14 @@ EDGE_CASES = [
     "<!doctype html>",
     "<!DOCTYPE HTML >",
     "<!doctype",
+    # doctype ids (quirks decision plumbed through all three lanes)
+    '<!DOCTYPE html PUBLIC "-//W3C//DTD HTML 4.01 Transitional//EN">x',
+    '<!DOCTYPE html PUBLIC "-//W3C//DTD HTML 4.01 Transitional//EN" '
+    '"http://www.w3.org/TR/html4/loose.dtd"><p>y',
+    "<!DOCTYPE html SYSTEM 'about:legacy-compat'>z",
+    '<!DOCTYPE html PUBLIC "unclosed',
+    "<!DOCTYPE html PUBLIC>",
+    "<!DOCTYPE html bogus junk><p>q",
     "<!doctypo x>",
     "<?php echo ?>",
     "<?>",
