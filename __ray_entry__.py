@@ -196,14 +196,12 @@ def _ann_lsh_oracle_sql() -> str:
             FROM qkey k
             JOIN flips f0 ON f0.vec_id = k.vec_id AND f0.rn = 1
             JOIN flips f1 ON f1.vec_id = k.vec_id AND f1.rn = 2),
-        cand AS (SELECT e.vec_id, e.embedding
+        cand AS (SELECT e.vec_id, e.emb
                  FROM e JOIN bkt USING (vec_id)
                  WHERE bucket IN (SELECT bucket FROM wanted)),
-        q AS (SELECT vec_id, embedding FROM embeddings
-              WHERE vec_id < 5),
+        q AS (SELECT vec_id, emb FROM e WHERE vec_id < 5),
         s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                     round(list_cosine_similarity(q.embedding,
-                                                  c.embedding), 6)
+                     round(list_cosine_similarity(q.emb, c.emb), 6)
                          AS sim
               FROM q CROSS JOIN cand c)
         SELECT query_id, neighbor_id,
@@ -284,14 +282,12 @@ def _ann_ivf_oracle_sql() -> str:
                               AS rn
                    FROM dots WHERE vec_id < 5
                    QUALIFY rn <= 4)),
-        cand AS (SELECT e.vec_id, e.embedding
+        cand AS (SELECT e.vec_id, e.emb
                  FROM e JOIN assign USING (vec_id)
                  WHERE cell IN (SELECT cell FROM probes)),
-        q AS (SELECT vec_id, embedding FROM embeddings
-              WHERE vec_id < 5),
+        q AS (SELECT vec_id, emb FROM e WHERE vec_id < 5),
         s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                     round(list_cosine_similarity(q.embedding,
-                                                  c.embedding), 6)
+                     round(list_cosine_similarity(q.emb, c.emb), 6)
                          AS sim
               FROM q CROSS JOIN cand c)
         SELECT query_id, neighbor_id,
@@ -2327,29 +2323,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT u AS doc_id, min(r) AS cluster_id
             FROM reach GROUP BY u
         """ % _MINHASH_PAIRS_SQL,
+        # DOUBLE-widened cosine (same rationale as the ann_* oracles:
+        # float32-list cosine sits ~8e-9 off the engine's float64
+        # value, a latent 6-dp threshold-flip hazard)
         "embedding_neardup": """
+            WITH e AS (SELECT vec_id,
+                              list_transform(embedding,
+                                  x -> CAST(x AS DOUBLE)) AS emb
+                       FROM embeddings)
             SELECT e1.vec_id AS a, e2.vec_id AS b
-            FROM embeddings e1 JOIN embeddings e2
-              ON e1.vec_id < e2.vec_id
-            WHERE round(list_cosine_similarity(
-                    e1.embedding, e2.embedding), 6) >= 0.3
+            FROM e e1 JOIN e e2 ON e1.vec_id < e2.vec_id
+            WHERE round(list_cosine_similarity(e1.emb, e2.emb), 6)
+                  >= 0.3
             ORDER BY a, b
         """,
         "embedding_neardup_approx": """
+            WITH e AS (SELECT vec_id,
+                              list_transform(embedding,
+                                  x -> CAST(x AS DOUBLE)) AS emb
+                       FROM embeddings)
             SELECT e1.vec_id AS a, e2.vec_id AS b
-            FROM embeddings e1 JOIN embeddings e2
-              ON e1.vec_id < e2.vec_id
-            WHERE round(list_cosine_similarity(
-                    e1.embedding, e2.embedding), 6) >= 0.8
+            FROM e e1 JOIN e e2 ON e1.vec_id < e2.vec_id
+            WHERE round(list_cosine_similarity(e1.emb, e2.emb), 6)
+                  >= 0.8
             ORDER BY a, b
         """,
+        # cosine computed over DOUBLE-widened lists: float32-list
+        # cosine differs from the engine's float64 path by ~8e-9 —
+        # five orders above summation noise — so ranking on it risks
+        # 6-dp rank flips at a new corpus (CLAUDE.md round-3: widen
+        # before ANY arithmetic over float32 columns)
         "ann_topk": """
-            WITH q AS (SELECT vec_id, embedding FROM embeddings
-                       WHERE vec_id < 5),
+            WITH q AS (SELECT vec_id,
+                              list_transform(embedding,
+                                  x -> CAST(x AS DOUBLE)) AS emb
+                       FROM embeddings WHERE vec_id < 5),
+                 e AS (SELECT vec_id,
+                              list_transform(embedding,
+                                  x -> CAST(x AS DOUBLE)) AS emb
+                       FROM embeddings),
                  s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
                               round(list_cosine_similarity(
-                                  q.embedding, e.embedding), 6) AS sim
-                       FROM q CROSS JOIN embeddings e)
+                                  q.emb, e.emb), 6) AS sim
+                       FROM q CROSS JOIN e)
             SELECT query_id, neighbor_id,
                    row_number() OVER (PARTITION BY query_id
                                       ORDER BY sim DESC, neighbor_id)
@@ -2422,11 +2438,13 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": _ann_lsh_oracle_sql(),
     }
     # the ivf oracle is the one entry that must READ the gate corpus
-    # (its codebook is a function of the embeddings table); a missing
-    # /root/testdata must degrade that single row to no_oracle, not
-    # break oracle retrieval for all 42 queries
+    # (its codebook is a function of the embeddings table); a missing/
+    # unreadable /root/testdata degrades that single row to no_oracle
+    # instead of breaking oracle retrieval for all 42 queries.  Only
+    # I/O errors are swallowed — a genuine defect in the Ray-free
+    # recompute must still fail loudly.
     try:
         out["ann_ivf"] = _ann_ivf_oracle_sql()
-    except Exception:
+    except OSError:
         pass
     return out

@@ -381,39 +381,29 @@ class CrawlJob:
             pq.write_table(FRONTIER_SCHEMA.empty_table(),
                            os.path.join(d, "empty.parquet"))
             n_frontier = 0
-            t_outlinks = time.perf_counter()
-            metrics = self._wave_metrics(
-                k, n_in, n_pages, n_frontier, frontier_in,
-                t_wave0, t_pipeline, t_outlinks)
-            ckpt.write_checkpoint(ck_dir, self.seen, self.num_shards,
-                                  metrics, snapshot_finish=snap_finish)
-            metrics["phase_sec"]["checkpoint"] = round(
-                time.perf_counter() - t_outlinks, 2)
-            ckpt.amend_manifest(ck_dir, metrics)
-            return metrics
+        else:
+            # outlinks -> next wave's frontier partitions
+            pages = wave.select_columns(["url", "links", "depth"])
 
-        # outlinks -> next wave's frontier partitions
-        pages = wave.select_columns(["url", "links", "depth"])
+            def explode(t: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
 
-        def explode(t: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
+                links = t.column("links")
+                parents = pc.list_parent_indices(links)
+                return pa.table({
+                    "url": pc.cast(pc.list_flatten(links), pa.string()),
+                    "src_url": pc.cast(
+                        pc.take(t.column("url"), parents), pa.string()),
+                    "depth": pc.cast(
+                        pc.add(pc.take(t.column("depth"), parents), 1),
+                        pa.int32()),
+                    "wave": pa.array(
+                        np.full(len(parents), k + 1, dtype=np.int32)),
+                })
 
-            links = t.column("links")
-            parents = pc.list_parent_indices(links)
-            return pa.table({
-                "url": pc.cast(pc.list_flatten(links), pa.string()),
-                "src_url": pc.cast(pc.take(t.column("url"), parents),
-                                   pa.string()),
-                "depth": pc.cast(
-                    pc.add(pc.take(t.column("depth"), parents), 1),
-                    pa.int32()),
-                "wave": pa.array(
-                    np.full(len(parents), k + 1, dtype=np.int32)),
-            })
-
-        out = pages.map_batches(explode, batch_format="pyarrow")
-        out = out.map_batches(CanonStage(), batch_format="pyarrow")
-        n_frontier = _write_ds(out, self._frontier_dir(k + 1))
+            out = pages.map_batches(explode, batch_format="pyarrow")
+            out = out.map_batches(CanonStage(), batch_format="pyarrow")
+            n_frontier = _write_ds(out, self._frontier_dir(k + 1))
         t_outlinks = time.perf_counter()
 
         metrics = self._wave_metrics(k, n_in, n_pages, n_frontier,

@@ -302,17 +302,19 @@ def _signature_branch_point(sh, checkpoint_dir: str | None,
 
     import ray.data as rd
 
-    # purge any partial/stale files first: write_parquet uses unique
-    # filenames and would APPEND beside a previous attempt's output,
-    # duplicating every signature row (same hazard as the crawl's
-    # _write_ds, same fix)
-    if os.path.isdir(checkpoint_dir):
-        shutil.rmtree(checkpoint_dir)
-    os.makedirs(checkpoint_dir, exist_ok=True)
-    sh.write_parquet(checkpoint_dir)
+    # own a dedicated SUBDIRECTORY of the caller's path and purge only
+    # that: write_parquet uses unique filenames and would APPEND beside
+    # a previous attempt's output, duplicating every signature row —
+    # but checkpoint_dir is operator-supplied (env-injectable), so an
+    # rmtree of the path itself could eat an unrelated tree (/tmp!)
+    sig_dir = os.path.join(checkpoint_dir, "signatures")
+    if os.path.isdir(sig_dir):
+        shutil.rmtree(sig_dir)
+    os.makedirs(sig_dir, exist_ok=True)
+    sh.write_parquet(sig_dir)
     # columns= always: a hive-partitioned path would otherwise grow a
     # partition column (CLAUDE.md gotcha)
-    return rd.read_parquet(checkpoint_dir, columns=columns)
+    return rd.read_parquet(sig_dir, columns=columns)
 
 
 def minhash_neardup(corpus_ds, threshold: float = 0.6, n: int = 3,

@@ -577,8 +577,10 @@ def test_neardup_checkpoint_branch_point_equality(ray_session, tmp_path):
         rd.from_arrow(t), threshold=0.6, num_partitions=2,
         checkpoint_dir=str(tmp_path / "mh_ckpt")))
     assert ckpt == base and len(base) >= 2
-    # the checkpoint actually landed on disk as sharded parquet
-    assert list((tmp_path / "mh_ckpt").glob("*.parquet"))
+    # the checkpoint landed on disk as sharded parquet, inside the
+    # function-owned subdirectory (only that subdir is ever purged —
+    # checkpoint_dir itself is operator-supplied)
+    assert list((tmp_path / "mh_ckpt" / "signatures").glob("*.parquet"))
 
     base_ng = pairs(ngram_jaccard_neardup(rd.from_arrow(t), threshold=0.5,
                                           num_partitions=2))
