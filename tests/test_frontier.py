@@ -69,6 +69,35 @@ def test_cuckoo_snapshot_byte_exact():
     assert len(cf2) == len(cf)
 
 
+def test_seen_shard_snapshot_compressed_and_legacy(ray_session):
+    """Shard snapshots are zlib-wrapped (NRZ1 magic) — much smaller
+    than the raw filter — and restore() accepts BOTH the wrapped form
+    and a legacy raw blob (pre-round-5 checkpoints resume fine)."""
+    import ray
+
+    from nipper_ray.frontier.seen import SeenShard
+
+    hs = np.array([xxh64(b"c%d" % i) for i in range(5000)],
+                  dtype=np.uint64)
+    s = SeenShard.remote(0, 1 << 18)
+    ray.get(s.check_and_add.remote(hs))
+    blob = ray.get(s.snapshot.remote())
+    assert blob[:4] == b"NRZ1"
+    raw = CuckooFilter(1 << 18)
+    raw.check_and_add_many(hs)
+    assert len(blob) < len(raw.snapshot()) // 4  # genuinely compressed
+    # round-trip the wrapped form
+    s2 = SeenShard.remote(0, 1 << 18)
+    ray.get(s2.restore.remote(blob))
+    assert not ray.get(s2.check_and_add.remote(hs)).any()
+    # legacy raw snapshot restores through the same entry point
+    s3 = SeenShard.remote(0, 1 << 18)
+    ray.get(s3.restore.remote(raw.snapshot()))
+    assert not ray.get(s3.check_and_add.remote(hs)).any()
+    for a in (s, s2, s3):
+        ray.kill(a)
+
+
 def test_cuckoo_overflow_correctness():
     cf = CuckooFilter(64)  # force heavy load -> overflow path
     hs = [xxh64(b"o%d" % i) for i in range(1000)]
