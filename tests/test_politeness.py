@@ -74,6 +74,29 @@ def test_deterministic_across_runs(frontier_ds):
     assert a == b
 
 
+def test_select_wave_equals_bruteforce(frontier_ds):
+    """The distributed selection (salted two-phase top-B + per-
+    partition wave_budget truncation + capped sort/limit) equals the
+    trivially-correct pandas reference: per-host (priority desc, url)
+    head-B, then global (priority desc, url) head-K."""
+    import pandas as pd
+
+    df = _frontier_table().to_pandas()
+    for B, K in ((30, 100), (10, 37), (400, 10_000), (1, 3)):
+        ref = (df.sort_values(["priority", "url"],
+                              ascending=[False, True], kind="mergesort")
+               .groupby("host", sort=False).head(B)
+               .sort_values(["priority", "url"],
+                            ascending=[False, True], kind="mergesort")
+               .head(K))
+        want = sorted(zip(ref["priority"], ref["url"]),
+                      key=lambda x: (-x[0], x[1]))
+        for salted in (True, False):
+            got = _rows(select_wave(frontier_ds, per_host_budget=B,
+                                    wave_budget=K, salted=salted))
+            assert got == want, (B, K, salted)
+
+
 def test_crawl_delay_caps_wave_budget(ray_session):
     """A host advertising Crawl-delay gets its per-wave cap tightened
     to wave_period/delay requests (deterministic token model, no wall
